@@ -1,0 +1,173 @@
+"""Typed configuration for the gated LT-VAE framework.
+
+Replaces the reference's argparse + ad-hoc ``train_config`` dict
+(/root/reference/configs.py:4-27, /root/reference/gated_ccvae.py:462-476)
+with frozen dataclasses that can be hashed into jit static args.
+
+The reference's broken CLI ``choices`` lists (configs.py:22-23 pass
+single-string lists, so 'fixed'/'one-one' were unreachable from the CLI) are
+fixed here; the semantics of every reachable configuration are preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# CelebA attribute vocabularies — mirrors /root/reference/utils_data.py:16-25.
+CELEBA_LABELS = (
+    '5_o_Clock_Shadow', 'Arched_Eyebrows', 'Attractive', 'Bags_Under_Eyes',
+    'Bald', 'Bangs', 'Big_Lips', 'Big_Nose', 'Black_Hair', 'Blond_Hair',
+    'Blurry', 'Brown_Hair', 'Bushy_Eyebrows', 'Chubby', 'Double_Chin',
+    'Eyeglasses', 'Goatee', 'Gray_Hair', 'Heavy_Makeup', 'High_Cheekbones',
+    'Male', 'Mouth_Slightly_Open', 'Mustache', 'Narrow_Eyes', 'No_Beard',
+    'Oval_Face', 'Pale_Skin', 'Pointy_Nose', 'Receding_Hairline',
+    'Rosy_Cheeks', 'Sideburns', 'Smiling', 'Straight_Hair', 'Wavy_Hair',
+    'Wearing_Earrings', 'Wearing_Hat', 'Wearing_Lipstick', 'Wearing_Necklace',
+    'Wearing_Necktie', 'Young',
+)
+
+CELEBA_EASY_LABELS = (
+    'Arched_Eyebrows', 'Bags_Under_Eyes', 'Bangs', 'Black_Hair', 'Blond_Hair',
+    'Brown_Hair', 'Bushy_Eyebrows', 'Chubby', 'Eyeglasses', 'Heavy_Makeup',
+    'Male', 'No_Beard', 'Pale_Skin', 'Receding_Hairline', 'Smiling',
+    'Wavy_Hair', 'Wearing_Necktie', 'Young',
+)
+
+GATE_TYPES = ('learnable', 'fixed')
+GATE_SUBTYPES = ('one-one', 'inferred')
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the gated CCVAE.
+
+    Defaults reproduce the reference CelebA-64 model
+    (/root/reference/gated_ccvae.py:23-60, networks.py). The 128px config
+    (BASELINE.json config 4) widens/deepens via the tuples below.
+    """
+
+    image_size: int = 64
+    channels: int = 3
+    z_dim: int = 45
+    y_dim: int = 18                  # == len(CELEBA_EASY_LABELS)
+    # Stride-2 conv feature progression; one extra stage per octave above 8px.
+    # 64px: (32, 32, 64, 128) -> 4x4 spatial, then a valid 4x4 conv to 1x1.
+    enc_features: Tuple[int, ...] = (32, 32, 64, 128)
+    enc_hidden: int = 256            # final valid-conv channels (networks.py:15)
+    # Decoder transpose-conv features after the 1x1 -> 4x4 valid deconv.
+    dec_features: Tuple[int, ...] = (128, 64, 32, 32)
+    # Reference quirk: Decoder(hidden_dim=z_dim) at gated_ccvae.py:34 overrides
+    # the Decoder's own 256 default, so fc1 is Dense(45 -> 45).
+    dec_hidden: Optional[int] = None  # None -> z_dim (reference semantics)
+    gate_type: str = 'learnable'
+    gate_subtype: str = 'inferred'
+    # Compute dtype for conv/matmul-heavy paths. Params always f32.
+    compute_dtype: str = 'float32'
+
+    def __post_init__(self):
+        if self.gate_type not in GATE_TYPES:
+            raise ValueError(f'gate_type must be one of {GATE_TYPES}')
+        if self.gate_subtype not in GATE_SUBTYPES:
+            raise ValueError(f'gate_subtype must be one of {GATE_SUBTYPES}')
+        if self.z_classify > self.z_dim:
+            raise ValueError('y_dim (== z_classify) must be <= z_dim')
+
+    @property
+    def z_classify(self) -> int:
+        # Reference ties z_classify to the number of labels
+        # (gated_ccvae.py:517-519 passes z_classify=n_classes).
+        return self.y_dim
+
+    @property
+    def z_style(self) -> int:
+        return self.z_dim - self.z_classify
+
+    @property
+    def mu_trainable(self) -> bool:
+        return self.gate_type == 'learnable'
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def input_shape(self) -> Tuple[int, int, int]:
+        return (self.image_size, self.image_size, self.channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule. Mirrors gated_ccvae.py:462-476 defaults."""
+
+    n_epochs: int = 75
+    batch_size: int = 256            # per-replica global batch (sharded over DP mesh)
+    lr: float = 1e-4                 # constant — reference never anneals (quirk)
+    adam_eps: float = 1e-7           # Keras Adam epsilon (tf.keras default)
+    perc_supervision: float = 1.0
+    gating_reg: float = 0.2          # L1 coeff on mu (learnable only)
+    # BinConcrete temperature: 1.0 for learnable, 0.3 for fixed
+    # (gated_ccvae.py:474), decayed x0.99/epoch for learnable (403-406).
+    gating_init_temp: Optional[float] = None   # None -> derived from gate_type
+    gating_temp_decay: float = 0.99
+    eval_gating_temp: float = 0.3    # test-time temperature (gated_ccvae.py:535)
+    classifier_mc_samples: int = 100  # k in the q(y|x) marginal (gated_ccvae.py:167)
+    seed: int = 0
+    # Improvements over the reference, off by default in parity mode:
+    reshuffle_each_epoch: bool = True   # reference shuffles once (utils_data.py:39-40)
+    deterministic_eval: bool = False    # reference eval is stochastic (gated_ccvae.py:421-446)
+
+    def gating_temp_for(self, model: ModelConfig) -> float:
+        if self.gating_init_temp is not None:
+            return self.gating_init_temp
+        return 1.0 if model.gate_type == 'learnable' else 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """CelebA pipeline config. Mirrors /root/reference/utils_data.py:83-196."""
+
+    data_dir: str = './data'
+    image_dir: str = 'img_align_celeba'
+    attr_file: str = 'list_attr_celeba.csv'
+    image_size: int = 64
+    # Official CelebA split sizes (utils_data.py:87-91).
+    n_train: int = 162770
+    n_valid: int = 19867
+    n_test: int = 19962
+    use_easy_labels: bool = True     # 18 labels; False -> all 40 (128px config)
+    prefetch_batches: int = 4
+    num_workers: int = 8
+    # Ship uint8 to device and normalize there (Pallas) instead of host f32.
+    device_preprocess: bool = True
+
+
+def default_celeba64(gate_type: str = 'learnable',
+                     gate_subtype: str = 'inferred',
+                     sup: float = 1.0,
+                     **overrides) -> tuple[ModelConfig, TrainConfig]:
+    """The reference's headline configuration set (BASELINE.json configs 1-3)."""
+    model = ModelConfig(gate_type=gate_type, gate_subtype=gate_subtype)
+    train = TrainConfig(perc_supervision=sup, **overrides)
+    return model, train
+
+
+def celeba128(gate_type: str = 'learnable', sup: float = 1.0,
+              **overrides) -> tuple[ModelConfig, TrainConfig]:
+    """128x128, full 40-attribute label space, widened latent
+    (BASELINE.json config 4). One extra stride-2 stage keeps the final
+    valid 4x4 conv at 1x1 spatial."""
+    model = ModelConfig(
+        image_size=128,
+        z_dim=100,
+        y_dim=40,
+        enc_features=(32, 32, 64, 128, 256),
+        enc_hidden=512,
+        dec_features=(256, 128, 64, 32, 32),
+        dec_hidden=256,
+        gate_type=gate_type,
+    )
+    train = TrainConfig(perc_supervision=sup, **overrides)
+    return model, train

@@ -1,0 +1,195 @@
+"""Flax networks for the gated CCVAE, designed MXU-first.
+
+Architectural semantics reproduce /root/reference/networks.py exactly —
+verified against the reference's .h5 checkpoints in
+tests/test_networks_golden.py — but the implementation is TPU-native:
+
+- NHWC convs lower straight onto the MXU via lax.conv_general_dilated;
+  the reference's explicit 1-px `tf.pad` + VALID conv pairs
+  (networks.py:21-28) become a single conv with asymmetric-capable
+  ((1,1),(1,1)) padding, which XLA fuses (no extra HBM round trip).
+- TF's Conv2DTranspose is matched bit-for-bit by lax.conv_transpose with
+  `transpose_kernel=True` and the kernel stored in TF's (kh, kw, out, in)
+  layout (verified to <1e-13 in f64 against tf.keras).
+- The reference's "tile z to [B, z, y] then mask-and-reduce" custom layers
+  (MyInferenceLayer networks.py:62-74, MyCondGenerationLayer 89-106) are
+  algebraically collapsed into single masked matmuls: the tiled tensor never
+  materializes, the MXU sees one [B, z] x [z, y] GEMM.
+- A `compute_dtype` knob runs conv/matmul math in bf16 with f32 params and
+  f32 heads (posterior scales stay f32 for the softplus/clip numerics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+# Keras-compatible initializers: conv/dense default to glorot_uniform,
+# the reference's custom gating layers use RandomNormal(stddev=0.05)
+# ('random_normal', networks.py:69-70) and zeros/ones (networks.py:97-100).
+glorot = nn.initializers.glorot_uniform()
+random_normal_05 = nn.initializers.normal(stddev=0.05)
+
+
+class TFConvTranspose(nn.Module):
+    """Transposed conv matching tf.keras.layers.Conv2DTranspose exactly.
+
+    Kernel parameter layout is TF's (kh, kw, out_ch, in_ch) so reference
+    .h5 weights drop in unchanged; `lax.conv_transpose(transpose_kernel=
+    True)` then computes the identical gradient-of-conv.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (4, 4)
+    strides: Tuple[int, int] = (2, 2)
+    padding: str = 'SAME'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, self.features, in_ch)
+        # glorot over (in=last, out=second-to-last) axes of the TF layout.
+        kernel_init = nn.initializers.variance_scaling(
+            1.0, 'fan_avg', 'uniform', in_axis=-1, out_axis=-2)
+        kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        y = lax.conv_transpose(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            self.strides, self.padding,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            transpose_kernel=True,
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype)
+
+
+class Encoder(nn.Module):
+    """q(z|x): strided conv stack -> two dense heads.
+
+    Reference: networks.py:7-37. 64x64x3 -> (pad1+valid 4x4 s2 convs:
+    32,32,64,128) -> 4x4x128 -> valid 4x4 s1 conv(256) -> 1x1x256 ->
+    Dense locs (ReLU — the reference's unusual nonnegative posterior
+    means, networks.py:17) and Dense scale (softplus, clipped to
+    [1e-3, 1e3], networks.py:18,33-34).
+    """
+
+    z_dim: int
+    features: Sequence[int] = (32, 32, 64, 128)
+    hidden: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.astype(self.dtype)
+        for i, f in enumerate(self.features):
+            # pad 1px + VALID 4x4 s2  ==  conv with ((1,1),(1,1)) padding.
+            h = nn.Conv(f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        kernel_init=glorot, dtype=self.dtype,
+                        name=f'conv{i + 1}')(h)
+            h = nn.relu(h)
+        h = nn.Conv(self.hidden, (4, 4), strides=(1, 1), padding='VALID',
+                    kernel_init=glorot, dtype=self.dtype,
+                    name=f'conv{len(self.features) + 1}')(h)
+        h = nn.relu(h)
+        h = h.reshape((h.shape[0], -1))
+        locs = nn.relu(nn.Dense(self.z_dim, kernel_init=glorot,
+                                dtype=self.dtype, name='locs')(h))
+        scale = nn.Dense(self.z_dim, kernel_init=glorot,
+                         dtype=self.dtype, name='scale')(h)
+        # Scale head numerics stay f32 regardless of compute dtype.
+        scale = jax.nn.softplus(scale.astype(jnp.float32))
+        scale = jnp.clip(scale, 1e-3, 1e3)
+        return locs.astype(jnp.float32), scale
+
+
+class Decoder(nn.Module):
+    """p(x|z): dense -> 1x1 feature map -> transpose-conv stack -> sigmoid.
+
+    Reference: networks.py:40-59. Note the hidden_dim=z_dim quirk: the
+    caller constructs Decoder(hidden_dim=z_dim) (gated_ccvae.py:34), so
+    fc1 is Dense(45) not 256; `hidden` preserves that as the default via
+    CCVAE wiring.
+    """
+
+    hidden: int
+    features: Sequence[int] = (128, 64, 32, 32)
+    out_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.relu(nn.Dense(self.hidden, kernel_init=glorot,
+                             dtype=self.dtype, name='fc1')(z.astype(self.dtype)))
+        h = h.reshape((h.shape[0], 1, 1, self.hidden))
+        h = nn.relu(TFConvTranspose(self.features[0], strides=(1, 1),
+                                    padding='VALID', dtype=self.dtype,
+                                    name='conv1t')(h))
+        for i, f in enumerate(self.features[1:]):
+            h = nn.relu(TFConvTranspose(f, strides=(2, 2), padding='SAME',
+                                        dtype=self.dtype,
+                                        name=f'conv{i + 2}t')(h))
+        x = TFConvTranspose(self.out_channels, strides=(2, 2), padding='SAME',
+                            dtype=self.dtype,
+                            name=f'conv{len(self.features) + 1}t')(h)
+        return jax.nn.sigmoid(x.astype(jnp.float32))
+
+
+class GatedClassifier(nn.Module):
+    """q(y|z,c): per-label masked linear head.
+
+    The reference tiles z_classify to [B, z, y], multiplies by the gates
+    and a (z, y) kernel, and reduces over z (networks.py:62-74, 83-86):
+        logits[b,j] = Σ_i z[b,i]·c[i,j]·W[i,j] + b[j]
+    which is exactly  z @ (c ⊙ W) + b  — one GEMM, no tiling.
+    """
+
+    y_dim: int
+    z_classify: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_classify, gates):
+        w = self.param('kernel', random_normal_05,
+                       (self.z_classify, self.y_dim), jnp.float32)
+        b = self.param('bias', random_normal_05, (self.y_dim,), jnp.float32)
+        logits = jnp.dot(z_classify.astype(self.dtype),
+                         (gates * w).astype(self.dtype),
+                         preferred_element_type=jnp.float32) + b
+        return logits.astype(jnp.float32)
+
+
+class ConditionalPrior(nn.Module):
+    """p(z_classify | y, c): gated linear maps for true/false label states.
+
+    Reference: networks.py:89-106, 109-127. With cᵀ the transposed gates,
+        locs  = y @ (cᵀ ⊙ W_loc_true) + (1-y) @ (cᵀ ⊙ W_loc_false)
+        scale = softplus(y @ (cᵀ ⊙ W_sc_true) + (1-y) @ (cᵀ ⊙ W_sc_false))
+    clipped to [1e-3, 1e3]. Kernels: loc zeros-init, scale ones-init —
+    so at init the prior is N(0, softplus(Σ gates)) as in the reference.
+    Two GEMMs replace the tile-mask-reduce custom layers.
+    """
+
+    z_classify: int
+    y_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, gates):
+        shape = (self.y_dim, self.z_classify)
+        w_loc_t = self.param('loc_true', nn.initializers.zeros, shape, jnp.float32)
+        w_loc_f = self.param('loc_false', nn.initializers.zeros, shape, jnp.float32)
+        w_sc_t = self.param('scale_true', nn.initializers.ones, shape, jnp.float32)
+        w_sc_f = self.param('scale_false', nn.initializers.ones, shape, jnp.float32)
+        ct = gates.T  # (y_dim, z_classify)
+        y = y.astype(jnp.float32)
+        locs = y @ (ct * w_loc_t) + (1.0 - y) @ (ct * w_loc_f)
+        scale = y @ (ct * w_sc_t) + (1.0 - y) @ (ct * w_sc_f)
+        scale = jax.nn.softplus(scale)
+        scale = jnp.clip(scale, 1e-3, 1e3)
+        return locs, scale

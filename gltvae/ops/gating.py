@@ -1,0 +1,96 @@
+"""Gating-matrix initialization from label co-occurrence.
+
+The reference builds the initial Bernoulli-gate means μ from the label
+co-occurrence frequencies of the observed (supervised + validation) labels
+with a triple Python loop (/root/reference/utils.py:132-149, driven from
+utils_data.py:147-176 and duplicated in gen_intial_gating_matrix.py:52-77).
+
+Here the same quantity is one matmul: for the 0/1 label matrix L (N × y),
+co-occurrence counts are LᵀL with the diagonal removed, normalized by N,
+diagonal set to 1. Verified element-for-element against the reference
+algorithm in tests/test_gating.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def cooccurrence_gating_matrix(labels: np.ndarray) -> np.ndarray:
+    """μ[i,j] = (# samples where labels i and j are both 1) / N, i≠j; μ[i,i]=1.
+
+    `labels` is an (N, y_dim) 0/1 array. Matches utils.py:132-149 exactly
+    (their "absolute frequencies" variant: normalize by the number of
+    samples, not row sums).
+    """
+    labels = np.asarray(labels, dtype=np.float64)
+    n = labels.shape[0]
+    counts = labels.T @ labels
+    np.fill_diagonal(counts, 0.0)
+    mu = counts / float(n)
+    np.fill_diagonal(mu, 1.0)
+    return mu
+
+
+def identity_gating_matrix(z_classify: int, y_dim: int) -> np.ndarray:
+    """Fixed one-to-one gating: μ = I (the original CCVAE of Joy et al.).
+
+    Reference: gated_ccvae.py:53-57 (tf.eye(z_classify, y_dim))."""
+    return np.eye(z_classify, y_dim, dtype=np.float32)
+
+
+def uniform_gating_matrix(y_dim: int) -> np.ndarray:
+    """Unsupervised fallback: all 0.5 with unit diagonal
+    (utils_data.py:155-157)."""
+    mu = np.full((y_dim, y_dim), 0.5, dtype=np.float64)
+    np.fill_diagonal(mu, 1.0)
+    return mu
+
+
+def gating_matrix_from_labels(
+    sup_labels: Optional[np.ndarray],
+    valid_labels: Optional[np.ndarray],
+    y_dim: int,
+    sup_frac: float,
+    cache_dir: Optional[str] = None,
+    label_names: Optional[Sequence[str]] = None,
+) -> np.ndarray:
+    """End-to-end μ init with the reference's npy cache protocol.
+
+    Mirrors utils_data.py:147-176: load data/gating_matrix_{sup}.npy if
+    cached; else compute from sup+valid labels (the reference's mild
+    valid-set leak, kept for parity), save npy + labeled csv.
+    """
+    cache_npy = None
+    if cache_dir is not None:
+        cache_npy = os.path.join(cache_dir, f'gating_matrix_{sup_frac}.npy')
+        if os.path.exists(cache_npy):
+            return np.load(cache_npy)
+
+    if sup_frac == 0.0 or sup_labels is None:
+        mu = uniform_gating_matrix(y_dim)
+    else:
+        parts = [sup_labels]
+        if valid_labels is not None:
+            parts.append(valid_labels)
+        mu = cooccurrence_gating_matrix(np.concatenate(parts, axis=0))
+
+    if cache_npy is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(cache_npy, mu)
+        if label_names is not None:
+            _save_labeled_csv(
+                mu, label_names,
+                os.path.join(cache_dir, f'gating_matrix_{sup_frac}.csv'))
+    return mu
+
+
+def _save_labeled_csv(mu: np.ndarray, label_names: Sequence[str], path: str):
+    """z1..zN row index, attribute-name columns — the reference's CSV layout
+    (utils_data.py:172-174)."""
+    import pandas as pd
+    index = [f'z{i + 1}' for i in range(mu.shape[0])]
+    pd.DataFrame(mu, index=index, columns=list(label_names)).to_csv(path)
