@@ -1,0 +1,110 @@
+"""Benchmark harness: ELBO train images/sec/chip on CelebA-64 (+ traversal
+latency), printed as ONE JSON line.
+
+Baseline (BASELINE.md): the reference trains at ~700 images/sec
+(162,770 imgs / ~233 s epoch, sup=1.0 learnable, bs 256, hardware
+unspecified) — vs_baseline is measured against that number.
+
+The measured step is the FULL supervised train step (encoder, z/gate
+sampling, classifier, k=100 MC marginal, conditional prior KL, decoder,
+Laplace LL, backward, Adam update) at batch 256, data resident on device
+as uint8 (the input pipeline is benched separately by tools/bench_data.py).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_train_step(batch_size: int, steps: int, warmup: int,
+                     compute_dtype: str, supervised: bool = True):
+    import jax
+    import jax.numpy as jnp
+    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.train.state import create_train_state
+    from gltvae.train.steps import make_train_steps
+
+    cfg = ModelConfig(compute_dtype=compute_dtype)
+    train_cfg = TrainConfig(batch_size=batch_size)
+    model = CCVAE(cfg)
+    rng = np.random.RandomState(0)
+    mu = rng.rand(18, 18).astype(np.float32)
+    np.fill_diagonal(mu, 1.0)
+    state = create_train_state(model, train_cfg, jax.random.key(0),
+                               mu_init=mu)
+    sup_step, unsup_step = make_train_steps(model, train_cfg)
+    step = sup_step if supervised else unsup_step
+
+    x = jnp.asarray(rng.randint(0, 256, (batch_size, 64, 64, 3)), jnp.uint8)
+    y = jnp.asarray((rng.rand(batch_size, 18) > 0.5).astype(np.float32))
+
+    for _ in range(warmup):
+        state, m = step(state, x, y, 1.0)
+    jax.block_until_ready(m['loss'])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, x, y, 1.0)
+    jax.block_until_ready(m['loss'])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, float(jax.device_get(m['loss']))
+
+
+def bench_traversal(n_steps: int = 8, iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+    from gltvae.config import ModelConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.eval.traversal import make_traversal_fn
+
+    model = CCVAE(ModelConfig())
+    mu = np.eye(18, dtype=np.float32)
+    params = model.init(jax.random.key(0), mu_init=mu)
+    fn = make_traversal_fn(model, n_steps=n_steps)  # 45 dims x 8 = 360 imgs
+    z = jnp.zeros((45,), jnp.float32)
+    out = fn(params, z)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, z)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1000.0  # ms per grid
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--batch-size', type=int, default=256)
+    p.add_argument('--steps', type=int, default=50)
+    p.add_argument('--warmup', type=int, default=5)
+    p.add_argument('--dtype', default='bfloat16',
+                   choices=['float32', 'bfloat16'])
+    p.add_argument('--skip-traversal', action='store_true')
+    args = p.parse_args()
+
+    import jax
+    backend = jax.default_backend()
+
+    imgs_per_sec, loss = bench_train_step(args.batch_size, args.steps,
+                                          args.warmup, args.dtype)
+    traversal_ms = (None if args.skip_traversal else bench_traversal())
+
+    baseline = 700.0  # reference images/sec (BASELINE.md, derived)
+    result = {
+        'metric': 'ELBO train images/sec/chip (CelebA-64, sup step, bs %d, %s)'
+                  % (args.batch_size, args.dtype),
+        'value': round(imgs_per_sec, 1),
+        'unit': 'images/sec',
+        'vs_baseline': round(imgs_per_sec / baseline, 2),
+        'backend': backend,
+        'final_loss': round(loss, 2),
+        'traversal_ms_per_grid': (None if traversal_ms is None
+                                  else round(traversal_ms, 2)),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -94,6 +94,13 @@ class ModelConfig:
         return jnp.dtype(self.compute_dtype)
 
     @property
+    def matmul_precision(self) -> Optional[str]:
+        """f32 mode: force 'highest' so TPU MXU f32 convs don't silently
+        degrade to bf16 passes (breaks golden parity with the CPU/TF
+        reference). bf16 mode: native MXU precision."""
+        return 'highest' if self.compute_dtype == 'float32' else None
+
+    @property
     def input_shape(self) -> Tuple[int, int, int]:
         return (self.image_size, self.image_size, self.channels)
 

@@ -1,0 +1,205 @@
+"""CelebA disk pipeline: attribute parsing, official splits, decode workers.
+
+Reproduces the data semantics of /root/reference/utils_data.py:83-196:
+- the hybrid space+comma attr-CSV parse (rows look like
+  '000001.jpg,-1,1,...'; the reference splits on space then on comma —
+  net effect: image id + 40 ints) — we parse directly;
+- -1 -> 0 label mapping, 40 -> 18 'easy' label filtering;
+- hardcoded official split sizes 162770/19867/19962 (the reference ships
+  but ignores list_eval_partition.csv);
+- sup/unsup split = leading sup_frac fraction of train;
+- resize to 64x64 with NO crop (aspect-distorting, reference quirk:
+  utils_data.py:57 PIL .resize((64,64))). A center-crop option exists for
+  the 128px config.
+
+The decode path is pluggable: cv2 (fastest pure-Python), PIL, or the C++
+libjpeg worker pool in native/ (see gltvae.data.native_loader).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gltvae.config import (CELEBA_LABELS, CELEBA_EASY_LABELS, DataConfig)
+from gltvae.data.pipeline import BatchLoader
+from gltvae.ops.gating import gating_matrix_from_labels
+
+
+def load_attr_csv(path: str,
+                  use_easy_labels: bool = True
+                  ) -> Tuple[List[str], np.ndarray]:
+    """Parse list_attr_celeba.csv -> (image ids, 0/1 label matrix).
+
+    Handles both the comma-separated Kaggle format the reference consumes
+    (utils_data.py:99-127) and the original space-separated
+    list_attr_celeba.txt layout.
+    """
+    with open(path) as f:
+        rows = list(csv.reader(f, delimiter=' ', skipinitialspace=True))
+    # drop header(s): the txt format has a count line + header line;
+    # the csv format has one header row.
+    if len(rows[0]) == 1 and rows[0][0].split(',')[0] == 'image_id':
+        rows = rows[1:]
+    elif rows[0] and rows[0][0].isdigit():
+        rows = rows[2:]
+    elif rows[0] and rows[0][0] == 'image_id':
+        rows = rows[1:]
+
+    ids, data = [], []
+    for row in rows:
+        if not row:
+            continue
+        if ',' in row[0]:        # comma-separated (Kaggle csv)
+            parts = row[0].split(',')
+            ids.append(parts[0])
+            data.append([int(v) for v in parts[1:]])
+        else:                    # space-separated (original txt)
+            ids.append(row[0])
+            data.append([int(v) for v in row[1:]])
+    labels = np.asarray(data, dtype=np.int64)
+    labels[labels == -1] = 0
+    if use_easy_labels:
+        keep = [i for i, name in enumerate(CELEBA_LABELS)
+                if name in CELEBA_EASY_LABELS]
+        labels = labels[:, keep]
+    return ids, labels
+
+
+@dataclass
+class _SplitData:
+    ids: List[str]
+    labels: np.ndarray
+
+    def __len__(self):
+        return len(self.ids)
+
+
+class ImageFolderDataset:
+    """Decode-on-fetch dataset over a directory of JPEGs.
+
+    fetch() decodes a batch of images to a uint8 array — run under
+    BatchLoader worker threads (decode releases the GIL) or swapped for
+    the native C++ pool.
+    """
+
+    def __init__(self, image_dir: str, split: _SplitData, image_size: int,
+                 center_crop: bool = False, backend: str = 'auto'):
+        self.image_dir = image_dir
+        self.split = split
+        self.image_size = image_size
+        self.center_crop = center_crop
+        if backend == 'auto':
+            try:
+                import cv2  # noqa: F401
+                backend = 'cv2'
+            except ImportError:
+                backend = 'pil'
+        self.backend = backend
+
+    def __len__(self):
+        return len(self.split)
+
+    def _decode(self, path: str) -> np.ndarray:
+        s = self.image_size
+        if self.backend == 'cv2':
+            import cv2
+            img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if self.center_crop:
+                img = _center_crop(img)
+            return cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+        import PIL.Image
+        img = PIL.Image.open(path)
+        if self.center_crop:
+            img = PIL.Image.fromarray(_center_crop(np.asarray(img)))
+        # reference: np.array -> fromarray -> resize (utils_data.py:55-58),
+        # PIL default BILINEAR? No: PIL .resize default is NEAREST before
+        # Pillow 10, BICUBIC after; the reference used the default. We use
+        # bilinear as the framework default; parity mode can pass
+        # backend='pil-nearest'.
+        return np.asarray(img.resize((s, s)), dtype=np.uint8)
+
+    def fetch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        imgs = np.stack([
+            self._decode(os.path.join(self.image_dir, self.split.ids[i]))
+            for i in idxs])
+        return imgs, self.split.labels[idxs].astype(np.float32)
+
+
+def _center_crop(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape[:2]
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    return img[top:top + s, left:left + s]
+
+
+class CelebAReader:
+    """Split construction + gating init + loaders; the TPU-era counterpart
+    of the reference CelebAReader (utils_data.py:83-196)."""
+
+    def __init__(self, cfg: DataConfig, sup_frac: float, batch_size: int,
+                 *, seed: int = 0, num_workers: Optional[int] = None,
+                 reshuffle_each_epoch: bool = True):
+        self.cfg = cfg
+        self.sup_frac = sup_frac
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = (cfg.num_workers if num_workers is None
+                            else num_workers)
+        self.reshuffle = reshuffle_each_epoch
+
+        ids, labels = load_attr_csv(
+            os.path.join(cfg.data_dir, cfg.attr_file), cfg.use_easy_labels)
+        self.splits = self._make_splits(ids, labels)
+        self.init_gating_prob = self._init_gating()
+
+    def _make_splits(self, ids, labels) -> Dict[str, _SplitData]:
+        cfg = self.cfg
+        n_tr, n_va = cfg.n_train, cfg.n_valid
+        out = {'train': _SplitData(ids[:n_tr], labels[:n_tr]),
+               'valid': _SplitData(ids[n_tr:n_tr + n_va],
+                                   labels[n_tr:n_tr + n_va]),
+               'test': _SplitData(ids[n_tr + n_va:], labels[n_tr + n_va:])}
+        tr = out['train']
+        if self.sup_frac == 0.0:
+            out['unsup'] = tr
+        elif self.sup_frac == 1.0:
+            out['sup'] = tr
+        else:
+            k = int(n_tr * self.sup_frac)
+            out['sup'] = _SplitData(tr.ids[:k], tr.labels[:k])
+            out['unsup'] = _SplitData(tr.ids[k:], tr.labels[k:])
+        return out
+
+    def _init_gating(self) -> np.ndarray:
+        y_dim = self.splits['train'].labels.shape[1]
+        sup = self.splits['sup'].labels if 'sup' in self.splits else None
+        return gating_matrix_from_labels(
+            sup, self.splits['valid'].labels, y_dim, self.sup_frac,
+            cache_dir=self.cfg.data_dir,
+            label_names=(CELEBA_EASY_LABELS if self.cfg.use_easy_labels
+                         else CELEBA_LABELS))
+
+    def setup_data_loaders(self) -> Dict[str, BatchLoader]:
+        if self.sup_frac == 0.0:
+            modes = ['unsup', 'test']
+        elif self.sup_frac == 1.0:
+            modes = ['sup', 'test', 'valid']
+        else:
+            modes = ['unsup', 'test', 'sup', 'valid']
+        image_dir = os.path.join(self.cfg.data_dir, self.cfg.image_dir)
+        loaders = {}
+        for mode in modes:
+            ds = ImageFolderDataset(image_dir, self.splits[mode],
+                                    self.cfg.image_size)
+            loaders[mode] = BatchLoader(
+                ds, self.batch_size, shuffle=True,
+                reshuffle_each_epoch=self.reshuffle, seed=self.seed,
+                num_workers=self.num_workers,
+                prefetch=self.cfg.prefetch_batches)
+        return loaders

@@ -66,19 +66,21 @@ class CCVAE:
     def encoder(self) -> Encoder:
         c = self.cfg
         return Encoder(z_dim=c.z_dim, features=c.enc_features,
-                       hidden=c.enc_hidden, dtype=c.dtype)
+                       hidden=c.enc_hidden, dtype=c.dtype,
+                       precision=c.matmul_precision)
 
     @property
     def decoder(self) -> Decoder:
         c = self.cfg
         return Decoder(hidden=c.dec_hidden or c.z_dim, features=c.dec_features,
-                       out_channels=c.channels, dtype=c.dtype)
+                       out_channels=c.channels, dtype=c.dtype,
+                       precision=c.matmul_precision)
 
     @property
     def classifier(self) -> GatedClassifier:
         c = self.cfg
         return GatedClassifier(y_dim=c.y_dim, z_classify=c.z_classify,
-                               dtype=c.dtype)
+                               dtype=c.dtype, precision=c.matmul_precision)
 
     @property
     def cond_prior(self) -> ConditionalPrior:

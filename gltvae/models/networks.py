@@ -48,6 +48,7 @@ class TFConvTranspose(nn.Module):
     strides: Tuple[int, int] = (2, 2)
     padding: str = 'SAME'
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -59,14 +60,18 @@ class TFConvTranspose(nn.Module):
         kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        # No preferred_element_type here: mixing a f32 accumulator type
+        # with bf16 operands breaks lax.conv_transpose's VJP (the backward
+        # conv sees a f32 cotangent against a bf16 kernel). The MXU
+        # accumulates bf16 products in f32 natively regardless.
         y = lax.conv_transpose(
             x.astype(self.dtype), kernel.astype(self.dtype),
             self.strides, self.padding,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             transpose_kernel=True,
-            preferred_element_type=jnp.float32,
+            precision=self.precision,
         )
-        return (y + bias).astype(self.dtype)
+        return (y + bias.astype(self.dtype)).astype(self.dtype)
 
 
 class Encoder(nn.Module):
@@ -83,6 +88,7 @@ class Encoder(nn.Module):
     features: Sequence[int] = (32, 32, 64, 128)
     hidden: int = 256
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -91,17 +97,18 @@ class Encoder(nn.Module):
             # pad 1px + VALID 4x4 s2  ==  conv with ((1,1),(1,1)) padding.
             h = nn.Conv(f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                         kernel_init=glorot, dtype=self.dtype,
-                        name=f'conv{i + 1}')(h)
+                        precision=self.precision, name=f'conv{i + 1}')(h)
             h = nn.relu(h)
         h = nn.Conv(self.hidden, (4, 4), strides=(1, 1), padding='VALID',
                     kernel_init=glorot, dtype=self.dtype,
+                    precision=self.precision,
                     name=f'conv{len(self.features) + 1}')(h)
         h = nn.relu(h)
         h = h.reshape((h.shape[0], -1))
-        locs = nn.relu(nn.Dense(self.z_dim, kernel_init=glorot,
-                                dtype=self.dtype, name='locs')(h))
-        scale = nn.Dense(self.z_dim, kernel_init=glorot,
-                         dtype=self.dtype, name='scale')(h)
+        locs = nn.relu(nn.Dense(self.z_dim, kernel_init=glorot, dtype=self.dtype,
+                                precision=self.precision, name='locs')(h))
+        scale = nn.Dense(self.z_dim, kernel_init=glorot, dtype=self.dtype,
+                         precision=self.precision, name='scale')(h)
         # Scale head numerics stay f32 regardless of compute dtype.
         scale = jax.nn.softplus(scale.astype(jnp.float32))
         scale = jnp.clip(scale, 1e-3, 1e3)
@@ -121,21 +128,25 @@ class Decoder(nn.Module):
     features: Sequence[int] = (128, 64, 32, 32)
     out_channels: int = 3
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, z):
-        h = nn.relu(nn.Dense(self.hidden, kernel_init=glorot,
-                             dtype=self.dtype, name='fc1')(z.astype(self.dtype)))
+        h = nn.relu(nn.Dense(self.hidden, kernel_init=glorot, dtype=self.dtype,
+                             precision=self.precision, name='fc1')(z.astype(self.dtype)))
         h = h.reshape((h.shape[0], 1, 1, self.hidden))
         h = nn.relu(TFConvTranspose(self.features[0], strides=(1, 1),
                                     padding='VALID', dtype=self.dtype,
+                                    precision=self.precision,
                                     name='conv1t')(h))
         for i, f in enumerate(self.features[1:]):
             h = nn.relu(TFConvTranspose(f, strides=(2, 2), padding='SAME',
                                         dtype=self.dtype,
+                                        precision=self.precision,
                                         name=f'conv{i + 2}t')(h))
-        x = TFConvTranspose(self.out_channels, strides=(2, 2), padding='SAME',
-                            dtype=self.dtype,
+        x = TFConvTranspose(self.out_channels, strides=(2, 2),
+                            padding='SAME', dtype=self.dtype,
+                            precision=self.precision,
                             name=f'conv{len(self.features) + 1}t')(h)
         return jax.nn.sigmoid(x.astype(jnp.float32))
 
@@ -152,6 +163,7 @@ class GatedClassifier(nn.Module):
     y_dim: int
     z_classify: int
     dtype: Any = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, z_classify, gates):
@@ -160,6 +172,7 @@ class GatedClassifier(nn.Module):
         b = self.param('bias', random_normal_05, (self.y_dim,), jnp.float32)
         logits = jnp.dot(z_classify.astype(self.dtype),
                          (gates * w).astype(self.dtype),
+                         precision=self.precision,
                          preferred_element_type=jnp.float32) + b
         return logits.astype(jnp.float32)
 

@@ -1,0 +1,68 @@
+"""Data-parallel train/eval steps over a device mesh.
+
+Same pure loss functions as the single-chip path (gltvae.train.steps);
+parallelism is pure annotation: batch sharded over the 'data' axis,
+state replicated, jit emits one SPMD program with an ICI all-reduce for
+the gradients. Global batch 4096 on a v5p-8 (BASELINE.json config 5) is
+this module with batch_size=4096 on an 8-chip mesh: 512 images/chip.
+
+RNG: each step folds the step counter into the state key (TrainState.
+next_rng). The key is REPLICATED — every chip computes the same per-batch
+key, but noise tensors are batch-sharded, so each chip materializes only
+its own slice of the (identical global) noise. This keeps loss values
+bit-identical to the single-chip run at the same global batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gltvae.config import TrainConfig
+from gltvae.models.ccvae import CCVAE
+from gltvae.parallel.mesh import batch_sharding, replicated_sharding
+from gltvae.train.state import TrainState
+from gltvae.train import steps as _steps
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate the train state onto every chip of the mesh."""
+    repl = replicated_sharding(mesh)
+    return jax.device_put(state, repl)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, split along the leading dim."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def make_parallel_train_steps(model: CCVAE, train_cfg: TrainConfig,
+                              mesh: Mesh,
+                              donate: bool = True) -> Tuple[Callable, Callable]:
+    """(sup_step, unsup_step) compiled for the mesh.
+
+    in/out shardings: state replicated, batch sharded on 'data', metrics
+    replicated. XLA turns the `jax.value_and_grad` mean-loss into a
+    per-chip partial reduction + one psum over ICI — the TPU-native
+    equivalent of a NCCL all-reduce, inserted by the compiler.
+    """
+    sup, unsup = _steps.make_train_steps(model, train_cfg, jit=False)
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    kwargs = dict(
+        in_shardings=(repl, bsh, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+    return jax.jit(sup, **kwargs), jax.jit(unsup, **kwargs)
+
+
+def make_parallel_eval_step(model: CCVAE, train_cfg: TrainConfig,
+                            mesh: Mesh) -> Callable:
+    ev = _steps.make_eval_step(model, train_cfg, jit=False)
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(ev, in_shardings=(repl, bsh, bsh, repl, repl),
+                   out_shardings=repl)

@@ -1,0 +1,203 @@
+"""Training engine: epoch loop with supervised/unsupervised interleave.
+
+Schedule semantics reproduce the reference Learner.train exactly
+(/root/reference/gated_ccvae.py:313-419):
+- batches/epoch = ceil(n_sup/bs) [+ ceil(n_unsup/bs) if semi-supervised];
+- a supervised batch every `period_sup_batches` = floor(total/sup) steps,
+  capped at sup_batches per epoch;
+- validation accuracy after each epoch, best-checkpointing on it;
+- gating temperature ×0.99/epoch for learnable gating.
+
+Engine-level differences (performance, not semantics):
+- the hot loop never syncs: metrics are queued as device arrays and
+  fetched in batches (the reference's per-step .numpy() + NaN-guard sync,
+  gated_ccvae.py:364-375, cost it a device round-trip every batch);
+- the NaN guard runs asynchronously every `nan_check_every` steps;
+- checkpoints carry the full state (resume-capable), exported μ artifacts
+  stay reference-compatible.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from gltvae.config import (CELEBA_EASY_LABELS, CELEBA_LABELS, ModelConfig,
+                           TrainConfig)
+from gltvae.models.ccvae import CCVAE
+from gltvae.train.state import TrainState, create_train_state
+from gltvae.train.steps import make_train_steps, make_eval_step
+from gltvae.train.checkpoint import CheckpointManager, export_gating_matrix
+from gltvae.train.metrics import MetricsLogger, Throughput
+
+logger = logging.getLogger(__name__)
+
+
+class NanGateError(RuntimeError):
+    """Raised when sampled gates go NaN (reference exits the process,
+    gated_ccvae.py:371-375; we raise so callers can handle it)."""
+
+
+class Trainer:
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 mu_init: Optional[np.ndarray] = None,
+                 mesh=None,
+                 checkpoint_dir: Optional[str] = None,
+                 metrics_path: Optional[str] = None,
+                 nan_check_every: int = 50):
+        self.model = CCVAE(model_cfg)
+        self.cfg = train_cfg
+        self.mesh = mesh
+        self.nan_check_every = nan_check_every
+
+        key = jax.random.key(train_cfg.seed)
+        self.state = create_train_state(self.model, train_cfg, key,
+                                        mu_init=mu_init)
+        if mesh is not None:
+            from gltvae.parallel.dp import (make_parallel_train_steps,
+                                            make_parallel_eval_step,
+                                            shard_state, shard_batch)
+            self.state = shard_state(self.state, mesh)
+            self._sup_step, self._unsup_step = make_parallel_train_steps(
+                self.model, train_cfg, mesh)
+            self._eval_step = make_parallel_eval_step(self.model, train_cfg,
+                                                      mesh)
+            self._place = lambda b: shard_batch(b, mesh)
+        else:
+            self._sup_step, self._unsup_step = make_train_steps(
+                self.model, train_cfg)
+            self._eval_step = make_eval_step(self.model, train_cfg)
+            self._place = lambda b: b
+
+        self.gating_temp = train_cfg.gating_temp_for(model_cfg)
+        self.ckpt = (CheckpointManager(checkpoint_dir)
+                     if checkpoint_dir else None)
+        self.metrics = MetricsLogger(metrics_path)
+        self.throughput = Throughput()
+        self._eval_key = jax.random.key(train_cfg.seed + 1)
+
+    # ------------------------------ schedule ------------------------------
+    def epoch_schedule(self, loaders) -> tuple[int, int, int]:
+        """(batches_per_epoch, period_sup_batches, sup_batches) —
+        reference gated_ccvae.py:320-334."""
+        sup = self.cfg.perc_supervision
+        bs = self.cfg.batch_size
+        if sup == 1.0:
+            n = math.ceil(loaders['sup'].n_s / bs)
+            return n, 1, n
+        if sup > 0.0:
+            sup_b = math.ceil(loaders['sup'].n_s / bs)
+            unsup_b = math.ceil(loaders['unsup'].n_s / bs)
+            total = sup_b + unsup_b
+            return total, int(total / sup_b), sup_b
+        if sup == 0.0:
+            return math.ceil(loaders['unsup'].n_s / bs), 0, 0
+        raise ValueError(f'bad supervision fraction {sup}')
+
+    # ------------------------------- train -------------------------------
+    def train(self, loaders: Dict, param_dir: Optional[str] = None,
+              epochs: Optional[int] = None,
+              log_every: int = 50) -> Dict:
+        cfg = self.cfg
+        epochs = cfg.n_epochs if epochs is None else epochs
+        best_val_acc = -np.inf
+        history = []
+
+        for epoch in range(epochs):
+            total, period, sup_batches = self.epoch_schedule(loaders)
+            sup_iter = iter(loaders['sup']) if 'sup' in loaders else None
+            unsup_iter = (iter(loaders['unsup'])
+                          if 'unsup' in loaders else None)
+            ctr_sup = 0
+            pending_gates = []
+            t_epoch = time.perf_counter()
+
+            for i in range(total):
+                is_sup = (period > 0 and i % period == 0
+                          and ctr_sup < sup_batches)
+                if is_sup:
+                    x, y = next(sup_iter)
+                    ctr_sup += 1
+                    step_fn = self._sup_step
+                else:
+                    x, y = next(unsup_iter)
+                    step_fn = self._unsup_step
+                x, y = self._place((x, y))
+                self.state, m = step_fn(self.state, x, y, self.gating_temp)
+                self.throughput.step(len(x))
+                pending_gates.append(m['c_nan'])
+                if (i + 1) % self.nan_check_every == 0 or i + 1 == total:
+                    if any(bool(v) for v in jax.device_get(pending_gates)):
+                        raise NanGateError(
+                            f'NaN gates at epoch {epoch} step {i}')
+                    pending_gates.clear()
+                if i % log_every == 0:
+                    self.metrics.log(int(i + epoch * total),
+                                     {k: v for k, v in m.items()
+                                      if k != 'c_nan'},
+                                     epoch=epoch, supervised=int(is_sup))
+
+            # ----------------------- validation -----------------------
+            if cfg.perc_supervision and 'valid' in loaders:
+                val_acc = self.evaluate(loaders['valid'])
+            else:
+                val_acc = -np.inf
+            epoch_time = time.perf_counter() - t_epoch
+            logger.info('[Epoch %03d] Val Acc %.3f (%.1fs, %.0f img/s)',
+                        epoch, val_acc, epoch_time,
+                        self.throughput.images_per_sec)
+            history.append({'epoch': epoch, 'val_accuracy': val_acc,
+                            'epoch_time': epoch_time})
+
+            if val_acc > best_val_acc:
+                best_val_acc = val_acc
+                self._save(param_dir, 'best', {'val_accuracy': val_acc})
+
+            # gating temperature decay (learnable only; gated_ccvae.py:403-406)
+            if self.model.cfg.gate_type == 'learnable':
+                self.gating_temp *= cfg.gating_temp_decay
+
+        self._save(param_dir, 'last', {'val_accuracy': best_val_acc})
+        self.metrics.flush()
+        return {'best_val_accuracy': best_val_acc, 'history': history,
+                'images_per_sec': self.throughput.images_per_sec}
+
+    def _save(self, param_dir: Optional[str], model_id: str, metrics: dict):
+        if self.ckpt is not None:
+            self.ckpt.save(self.state, metrics=metrics)
+        if param_dir and self.model.cfg.gate_type == 'learnable':
+            names = (CELEBA_EASY_LABELS
+                     if self.model.cfg.y_dim == len(CELEBA_EASY_LABELS)
+                     else list(CELEBA_LABELS)[:self.model.cfg.y_dim])
+            export_gating_matrix(self.state.params['mu'], param_dir,
+                                 model_id, names)
+
+    # ------------------------------- eval -------------------------------
+    def evaluate(self, loader, gating_temp: Optional[float] = None) -> float:
+        """Mean accuracy over ceil(n/bs) batches (gated_ccvae.py:448-455)."""
+        temp = self.gating_temp if gating_temp is None else gating_temp
+        n_batches = loader.epoch_batches
+        it = iter(loader)
+        accs = []
+        for i in range(n_batches):
+            x, y = self._place(next(it))
+            self._eval_key, sub = jax.random.split(self._eval_key)
+            accs.append(self._eval_step(self.state.params, x, y, sub, temp))
+        return float(np.mean(jax.device_get(accs)))
+
+    def test(self, loader) -> float:
+        """Test protocol: gating temp forced to eval temperature
+        (gated_ccvae.py:534-536)."""
+        return self.evaluate(loader, gating_temp=self.cfg.eval_gating_temp)
+
+    def restore(self, step: Optional[int] = None):
+        if self.ckpt is None:
+            raise ValueError('no checkpoint_dir configured')
+        self.state = self.ckpt.restore(self.state, step=step)
+        return self.state

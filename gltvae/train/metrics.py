@@ -1,0 +1,85 @@
+"""Structured training metrics: per-step ELBO decomposition + throughput.
+
+The reference logs only tqdm postfix scalars and a per-epoch val accuracy
+line (gated_ccvae.py:351-386). Here every step's ELBO terms are recorded
+(host-async: metrics stay on device until flush, so logging never forces a
+device sync inside the hot loop — the reference's per-step .numpy() sync,
+SURVEY.md §3.1, is exactly what this avoids) and written as CSV.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+class MetricsLogger:
+    def __init__(self, path: Optional[str] = None, flush_every: int = 50):
+        self.path = path
+        self.flush_every = flush_every
+        self._pending: List[Dict] = []   # values may be device arrays
+        self._rows: List[Dict] = []
+        self._header_written = False
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def log(self, step: int, metrics: Dict, **extra):
+        """Queue device scalars WITHOUT syncing; they are fetched at flush."""
+        row = {'step': step, 'time': time.time(), **metrics, **extra}
+        self._pending.append(row)
+        if len(self._pending) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> List[Dict]:
+        if not self._pending:
+            return self._rows
+        fetched = jax.device_get(self._pending)
+        rows = [{k: (float(v) if isinstance(v, (np.ndarray, np.generic))
+                     else v) for k, v in r.items()} for r in fetched]
+        self._rows.extend(rows)
+        self._pending.clear()
+        if self.path:
+            write_header = not self._header_written
+            with open(self.path, 'a', newline='') as f:
+                w = csv.DictWriter(f, fieldnames=sorted(rows[0].keys()))
+                if write_header:
+                    w.writeheader()
+                    self._header_written = True
+                for r in rows:
+                    w.writerow(r)
+        return self._rows
+
+    @property
+    def rows(self) -> List[Dict]:
+        self.flush()
+        return self._rows
+
+
+class Throughput:
+    """images/sec meter with warmup exclusion (compile steps skew means)."""
+
+    def __init__(self, warmup_steps: int = 2):
+        self.warmup = warmup_steps
+        self._count = 0
+        self._images = 0
+        self._t0 = None
+
+    def step(self, batch_images: int):
+        self._count += 1
+        if self._count == self.warmup + 1:
+            self._t0 = time.perf_counter()
+            self._images = 0
+        if self._count > self.warmup:
+            self._images += batch_images
+
+    @property
+    def images_per_sec(self) -> float:
+        if self._t0 is None or self._images == 0:
+            return 0.0
+        dt = time.perf_counter() - self._t0
+        return self._images / dt if dt > 0 else 0.0

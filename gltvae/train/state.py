@@ -1,0 +1,69 @@
+"""Train state: the complete, Orbax-serializable training snapshot.
+
+The reference cannot resume training — it saves only model weights
+(gated_ccvae.py:388-419; no optimizer state, no step counter). Here the
+state is one pytree carrying params, Adam moments, step and PRNG key, so a
+restore is bit-exact resume (SURVEY.md §5 checkpoint plan).
+
+μ freezing: the gating means live in ``params['mu']`` for all three gate
+schemes; whether they train is an OPTIMIZER property (an optax.multi_transform
+mask), mirroring the reference's trainable=True/False tf.Variable flag
+(gated_ccvae.py:42-60) without special-casing the loss code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gltvae.config import ModelConfig, TrainConfig
+from gltvae.models.ccvae import CCVAE
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray            # int32 scalar
+    params: Any
+    opt_state: Any
+    rng: jax.Array               # raw uint32 key data (Orbax/numpy friendly)
+
+    def next_rng(self):
+        """Per-step key derivation: fold the step counter into the state
+        key so every step (and every restart from a checkpoint) draws a
+        deterministic, distinct stream. Stored as raw key data because
+        typed PRNG keys don't serialize through Orbax/numpy."""
+        return jax.random.fold_in(jax.random.wrap_key_data(self.rng),
+                                  self.step)
+
+
+def make_optimizer(model_cfg: ModelConfig, train_cfg: TrainConfig):
+    """Adam with Keras-compatible hyperparameters (lr constant — the
+    reference configures `anneal_rate` but never applies it, a quirk we
+    preserve by default; gated_ccvae.py:144, SURVEY.md §2 quirks)."""
+    adam = optax.adam(train_cfg.lr, b1=0.9, b2=0.999, eps=train_cfg.adam_eps)
+    if model_cfg.mu_trainable:
+        return adam
+    # Fixed gating: μ gets zero updates; everything else trains.
+    def label_fn(params):
+        return {k: ('frozen' if k == 'mu' else 'train') for k in params}
+    return optax.multi_transform(
+        {'train': adam, 'frozen': optax.set_to_zero()}, label_fn)
+
+
+def create_train_state(model: CCVAE, train_cfg: TrainConfig, key,
+                       mu_init: Optional[np.ndarray] = None,
+                       params: Optional[dict] = None) -> TrainState:
+    k_init, k_state = jax.random.split(key)
+    if params is None:
+        params = model.init(k_init, mu_init=mu_init)
+    tx = make_optimizer(model.cfg, train_cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.key_data(k_state),
+    )

@@ -1,0 +1,117 @@
+"""Jit-compiled train/eval steps.
+
+The reference's `@tf.function train_step(x, y, supervised)` traces two
+graphs for the Python bool (SURVEY.md §2 quirk); here that is explicit:
+`make_train_steps` returns two compiled functions (sup/unsup) sharing the
+state pytree. The gating temperature is a TRACED scalar so the per-epoch
+×0.99 decay (gated_ccvae.py:403-406) never triggers a recompile.
+
+Device-parallel variants of these steps are built in gltvae.parallel.dp by
+wrapping the same pure functions in shardings — the loss code is identical
+on 1 chip and on a v5p pod.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gltvae.config import TrainConfig
+from gltvae.models.ccvae import CCVAE, Temps
+from gltvae.train.state import TrainState, make_optimizer
+
+
+def make_train_steps(model: CCVAE, train_cfg: TrainConfig,
+                     jit: bool = True,
+                     donate: bool = True) -> Tuple[Callable, Callable]:
+    """Build (sup_step, unsup_step): (state, x, y, gating_temp) -> (state,
+    metrics). x may be uint8 (device-side normalize, see ops/pallas) or f32.
+    """
+    tx = make_optimizer(model.cfg, train_cfg)
+    gating_reg = (train_cfg.gating_reg if model.cfg.mu_trainable else 0.0)
+    k = train_cfg.classifier_mc_samples
+
+    def _apply(state: TrainState, grads, loss, aux):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        metrics = {
+            'loss': loss, 'elbo': aux.elbo, 'log_pxz': aux.log_pxz,
+            'kl': aux.kl, 'log_qy_zc': aux.log_qy_zc,
+            'log_qy_x': aux.log_qy_x,
+            'c_sum': jnp.sum(aux.gates),
+            'c_nan': jnp.any(jnp.isnan(aux.gates)),
+        }
+        return new_state, metrics
+
+    def sup_step(state: TrainState, x, y, gating_temp):
+        x = _as_f32_image(x)
+        key = state.next_rng()
+        temps = Temps(gating=jnp.asarray(gating_temp, jnp.float32))
+        (loss, aux), grads = jax.value_and_grad(
+            model.sup_loss, has_aux=True)(
+                state.params, x, y.astype(jnp.float32), key, temps,
+                gating_reg=gating_reg, k=k)
+        return _apply(state, grads, loss, aux)
+
+    def unsup_step(state: TrainState, x, y, gating_temp):
+        del y  # unsupervised: labels unused (reference passes them anyway)
+        x = _as_f32_image(x)
+        key = state.next_rng()
+        temps = Temps(gating=jnp.asarray(gating_temp, jnp.float32))
+        (loss, aux), grads = jax.value_and_grad(
+            model.unsup_loss, has_aux=True)(
+                state.params, x, key, temps, gating_reg=gating_reg)
+        return _apply(state, grads, loss, aux)
+
+    if jit:
+        donate_args = (0,) if donate else ()
+        sup_step = jax.jit(sup_step, donate_argnums=donate_args)
+        unsup_step = jax.jit(unsup_step, donate_argnums=donate_args)
+    return sup_step, unsup_step
+
+
+def make_eval_step(model: CCVAE, train_cfg: TrainConfig, jit: bool = True):
+    """(params, x, y, key, gating_temp) -> per-batch accuracy scalar.
+
+    Stochastic by default (reference parity, gated_ccvae.py:421-446);
+    set train_cfg.deterministic_eval for the mean-z/expected-gate variant.
+    """
+    det = train_cfg.deterministic_eval
+
+    def eval_step(params, x, y, key, gating_temp):
+        x = _as_f32_image(x)
+        temps = Temps(gating=jnp.asarray(gating_temp, jnp.float32))
+        return model.classifier_accuracy(params, x, y.astype(jnp.float32),
+                                         key, temps, deterministic=det)
+
+    return jax.jit(eval_step) if jit else eval_step
+
+
+def make_elbo_eval_step(model: CCVAE, train_cfg: TrainConfig,
+                        jit: bool = True):
+    """Test-ELBO meter (unsupervised bound) for the BASELINE 'matched test
+    ELBO' criterion — a framework addition; the reference only reports
+    accuracy."""
+    def elbo_step(params, x, key, gating_temp):
+        x = _as_f32_image(x)
+        temps = Temps(gating=jnp.asarray(gating_temp, jnp.float32))
+        _, aux = model.unsup_loss(params, x, key, temps)
+        return aux.elbo
+    return jax.jit(elbo_step) if jit else elbo_step
+
+
+def _as_f32_image(x):
+    """uint8 [0,255] -> f32 [0,1] on device; f32 passes through.
+
+    Keeping the host->device transfer in uint8 quarters PCIe/DCN bytes;
+    the divide fuses into the first conv via XLA (and the Pallas
+    preprocessing path in ops/pallas/preprocess.py for the fused
+    crop+flip+normalize variant)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x

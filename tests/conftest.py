@@ -4,11 +4,22 @@ TPU hardware. Must run before jax is imported anywhere."""
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU (this machine imports jax at interpreter startup with
+# JAX_PLATFORMS=axon baked in, which would silently route "unit" tests
+# through the real TPU tunnel — slow, and TPU default matmul precision
+# breaks f32 golden comparisons). Env vars are snapshotted before conftest
+# runs, so use jax.config.update; XLA_FLAGS is still read lazily at CPU
+# backend init.
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert jax.default_backend() == 'cpu'
+assert len(jax.devices()) == 8, 'virtual 8-device CPU platform required'
 
 import numpy as np
 import pytest

@@ -1,0 +1,181 @@
+"""Data pipeline semantics: wrap-around batching, splits, CSV parsing,
+prefetch determinism (reference: utils_data.py)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from gltvae.config import DataConfig, CELEBA_LABELS, CELEBA_EASY_LABELS
+from gltvae.data.pipeline import ArrayDataset, BatchLoader
+from gltvae.data.synthetic import synthetic_celeba, synthetic_splits
+from gltvae.data.celeba import load_attr_csv, CelebAReader
+
+
+def make_ds(n=10, y=3):
+    return ArrayDataset(images=np.arange(n, dtype=np.uint8)
+                        .reshape(n, 1, 1, 1) * np.ones((1, 2, 2, 1), np.uint8),
+                        labels=np.eye(n, y, dtype=np.float32))
+
+
+class TestBatchLoader:
+    def test_wraparound_exact_reference_semantics(self):
+        """Final short batch completes from the front
+        (utils_data.py:65-72): n=10, bs=4 -> batches [0:4],[4:8],[8:10]+[0:2]."""
+        dl = BatchLoader(make_ds(10), 4, shuffle=False)
+        idxs1 = dl._next_batch_idxs()
+        idxs2 = dl._next_batch_idxs()
+        idxs3 = dl._next_batch_idxs()
+        np.testing.assert_array_equal(idxs1, [0, 1, 2, 3])
+        np.testing.assert_array_equal(idxs2, [4, 5, 6, 7])
+        np.testing.assert_array_equal(idxs3, [8, 9, 0, 1])
+        assert dl._start == 2
+
+    def test_epoch_batches_ceil(self):
+        assert BatchLoader(make_ds(10), 4, shuffle=False).epoch_batches == 3
+        assert BatchLoader(make_ds(8), 4, shuffle=False).epoch_batches == 2
+
+    def test_every_batch_full_size(self):
+        dl = BatchLoader(make_ds(10), 4, shuffle=True, seed=1)
+        it = iter(dl)
+        for _ in range(7):
+            x, y = next(it)
+            assert x.shape[0] == 4 and y.shape[0] == 4
+
+    def test_shuffle_once_mode_reproduces_reference(self):
+        """reshuffle_each_epoch=False: index order fixed after init
+        (utils_data.py:39-40)."""
+        a = BatchLoader(make_ds(10), 4, shuffle=True,
+                        reshuffle_each_epoch=False, seed=3)
+        b = BatchLoader(make_ds(10), 4, shuffle=True,
+                        reshuffle_each_epoch=False, seed=3)
+        for _ in range(6):  # cross epoch boundary twice
+            np.testing.assert_array_equal(a._next_batch_idxs(),
+                                          b._next_batch_idxs())
+
+    def test_reshuffle_changes_epoch_order(self):
+        dl = BatchLoader(make_ds(10), 5, shuffle=True, seed=0,
+                         reshuffle_each_epoch=True)
+        e1 = [dl._next_batch_idxs().copy() for _ in range(2)]
+        e2 = [dl._next_batch_idxs().copy() for _ in range(2)]
+        assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+        # each epoch still covers all samples
+        assert set(np.concatenate(e2).tolist()) == set(range(10))
+
+    def test_threaded_prefetch_matches_sync_order(self):
+        ds = make_ds(20)
+        sync = BatchLoader(ds, 4, shuffle=True, seed=7, num_workers=0)
+        thr = BatchLoader(ds, 4, shuffle=True, seed=7, num_workers=2)
+        it_s, it_t = iter(sync), iter(thr)
+        for _ in range(8):
+            (xs, ys), (xt, yt) = next(it_s), next(it_t)
+            np.testing.assert_array_equal(xs, xt)
+            np.testing.assert_array_equal(ys, yt)
+
+
+class TestSynthetic:
+    def test_shapes_and_dtypes(self):
+        ds = synthetic_celeba(32, image_size=64, y_dim=18)
+        assert ds.images.shape == (32, 64, 64, 3)
+        assert ds.images.dtype == np.uint8
+        assert ds.labels.shape == (32, 18)
+        assert ds.labels.sum(1).min() >= 1  # no all-zero rows
+
+    def test_splits_partition(self):
+        splits = synthetic_splits(100, 20, 20, sup_frac=0.5)
+        assert len(splits['sup']) == 50
+        assert len(splits['unsup']) == 50
+        assert len(splits['valid']) == 20
+        assert len(splits['test']) == 20
+
+    def test_splits_sup_modes(self):
+        assert 'unsup' not in synthetic_splits(sup_frac=1.0)
+        assert 'sup' not in synthetic_splits(sup_frac=0.0)
+
+
+ATTR_CSV = textwrap.dedent("""\
+    image_id,{names}
+    000001.jpg,{row1}
+    000002.jpg,{row2}
+    000003.jpg,{row3}
+    """)
+
+
+@pytest.fixture
+def attr_csv(tmp_path):
+    rng = np.random.RandomState(0)
+    rows = rng.choice([-1, 1], size=(3, 40))
+    txt = ATTR_CSV.format(
+        names=','.join(CELEBA_LABELS),
+        row1=','.join(map(str, rows[0])),
+        row2=','.join(map(str, rows[1])),
+        row3=','.join(map(str, rows[2])))
+    path = tmp_path / 'list_attr_celeba.csv'
+    path.write_text(txt)
+    return str(path), rows
+
+
+class TestAttrCSV:
+    def test_parse_comma_format(self, attr_csv):
+        path, rows = attr_csv
+        ids, labels = load_attr_csv(path, use_easy_labels=False)
+        assert ids == ['000001.jpg', '000002.jpg', '000003.jpg']
+        want = np.where(rows == -1, 0, rows)
+        np.testing.assert_array_equal(labels, want)
+
+    def test_easy_label_filter(self, attr_csv):
+        path, rows = attr_csv
+        _, labels = load_attr_csv(path, use_easy_labels=True)
+        assert labels.shape == (3, 18)
+        keep = [i for i, n in enumerate(CELEBA_LABELS)
+                if n in CELEBA_EASY_LABELS]
+        want = np.where(rows == -1, 0, rows)[:, keep]
+        np.testing.assert_array_equal(labels, want)
+
+    def test_parse_space_format(self, tmp_path):
+        """Original list_attr_celeba.txt: count line, header, space-sep."""
+        txt = ('2\n' + ' '.join(CELEBA_LABELS) + '\n'
+               + '000001.jpg ' + ' '.join(['1', '-1'] * 20) + '\n'
+               + '000002.jpg ' + ' '.join(['-1', '1'] * 20) + '\n')
+        p = tmp_path / 'list_attr_celeba.txt'
+        p.write_text(txt)
+        ids, labels = load_attr_csv(str(p), use_easy_labels=False)
+        assert ids == ['000001.jpg', '000002.jpg']
+        np.testing.assert_array_equal(labels[0], [1, 0] * 20)
+
+
+class TestCelebAReader:
+    def _mini_root(self, tmp_path, n=30):
+        rng = np.random.RandomState(1)
+        rows = rng.choice([-1, 1], size=(n, 40))
+        lines = ['image_id,' + ','.join(CELEBA_LABELS)]
+        img_dir = tmp_path / 'img_align_celeba'
+        img_dir.mkdir()
+        import PIL.Image
+        for i in range(n):
+            name = f'{i:06d}.jpg'
+            lines.append(name + ',' + ','.join(map(str, rows[i])))
+            PIL.Image.fromarray(
+                rng.randint(0, 255, (178, 218, 3), dtype=np.uint8)
+            ).save(img_dir / name)
+        (tmp_path / 'list_attr_celeba.csv').write_text('\n'.join(lines) + '\n')
+        return rows
+
+    def test_end_to_end_mini(self, tmp_path):
+        self._mini_root(tmp_path, n=30)
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=20, n_valid=5,
+                         n_test=5, num_workers=0)
+        reader = CelebAReader(cfg, sup_frac=0.5, batch_size=4, seed=0)
+        assert reader.init_gating_prob.shape == (18, 18)
+        np.testing.assert_allclose(np.diag(reader.init_gating_prob), 1.0)
+        loaders = reader.setup_data_loaders()
+        assert set(loaders) == {'sup', 'unsup', 'valid', 'test'}
+        assert loaders['sup'].n_s == 10
+        assert loaders['unsup'].n_s == 10
+        x, y = next(iter(loaders['sup']))
+        assert x.shape == (4, 64, 64, 3)
+        assert x.dtype == np.uint8
+        assert y.shape == (4, 18)
+        # gating cache written in reference format
+        assert os.path.exists(tmp_path / 'gating_matrix_0.5.npy')

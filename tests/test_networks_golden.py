@@ -135,19 +135,22 @@ def test_cond_prior_golden(model, ref_params, ref_param_dir, rng):
 
 
 def test_param_count_matches_reference(model):
-    """Total trainable params ≈ 1,017,901 (BASELINE.md, verified from h5:
-    enc 739,690 + dec 276,249 + clf 342 + cond-prior 1,296 + μ 324)."""
+    """Per-submodule parameter counts recomputed from the verified h5
+    weight shapes. (SURVEY.md/BASELINE.md quote encoder 739,690 / total
+    1,017,901 — an arithmetic slip; the h5 shapes sum to encoder 729,690:
+    convs 1,568+16,416+32,832+131,200+524,544 + two dense heads 11,565
+    each.)"""
     params = model.init(jax.random.key(0),
                         mu_init=np.eye(18, dtype=np.float32))
     counts = {k: sum(int(np.prod(x.shape))
                      for x in jax.tree.leaves(v))
               for k, v in params.items()}
-    assert counts['encoder'] == 739_690
+    assert counts['encoder'] == 729_690
     assert counts['decoder'] == 276_249
     assert counts['classifier'] == 342
     assert counts['cond_prior'] == 1_296
     assert counts['mu'] == 324
-    assert sum(counts.values()) == 1_017_901
+    assert sum(counts.values()) == 1_007_901
 
 
 def test_init_shapes_match_h5(model, ref_params):

@@ -1,0 +1,216 @@
+"""Training engine: optimizer semantics (μ freezing), interleave schedule,
+loss progress, checkpoint resume."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gltvae.config import ModelConfig, TrainConfig
+from gltvae.data.pipeline import ArrayDataset, BatchLoader
+from gltvae.data.synthetic import synthetic_splits
+from gltvae.models.ccvae import CCVAE
+from gltvae.train.state import create_train_state
+from gltvae.train.steps import make_train_steps, make_eval_step
+from gltvae.train.loop import Trainer
+
+MODEL = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                    enc_features=(8, 8), enc_hidden=16,
+                    dec_features=(16, 8))
+TRAIN = TrainConfig(batch_size=8, lr=1e-3, classifier_mc_samples=4,
+                    perc_supervision=0.5)
+
+
+def mu_init(y=4):
+    m = np.full((y, y), 0.5, np.float32)
+    np.fill_diagonal(m, 1.0)
+    return m
+
+
+def batch(n=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randint(0, 256, (n, 16, 16, 3), dtype=np.uint8)
+    y = (rng.rand(n, 4) > 0.5).astype(np.float32)
+    return jnp.array(x), jnp.array(y)
+
+
+@pytest.fixture(scope='module')
+def learnable_setup():
+    model = CCVAE(MODEL)
+    state = create_train_state(model, TRAIN, jax.random.key(0),
+                               mu_init=mu_init())
+    sup, unsup = make_train_steps(model, TRAIN, donate=False)
+    return model, state, sup, unsup
+
+
+def test_sup_step_updates_all_params(learnable_setup):
+    model, state, sup, _ = learnable_setup
+    x, y = batch()
+    new_state, m = sup(state, x, y, 1.0)
+    assert int(new_state.step) == int(state.step) + 1
+    assert np.isfinite(float(m['loss']))
+    for name in ['encoder', 'decoder', 'classifier', 'cond_prior', 'mu']:
+        diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree.leaves(state.params[name]),
+            jax.tree.leaves(new_state.params[name])))
+        assert diff > 0, f'{name} did not update'
+
+
+def test_unsup_step_updates(learnable_setup):
+    model, state, _, unsup = learnable_setup
+    x, y = batch()
+    new_state, m = unsup(state, x, y, 1.0)
+    assert np.isfinite(float(m['loss']))
+    assert not bool(m['c_nan'])
+
+
+def test_uint8_and_f32_inputs_equivalent(learnable_setup):
+    model, state, sup, _ = learnable_setup
+    x, y = batch()
+    s1, m1 = sup(state, x, y, 1.0)
+    s2, m2 = sup(state, x.astype(jnp.float32) / 255.0, y, 1.0)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-5)
+
+
+def test_fixed_gating_mu_frozen():
+    cfg = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                      enc_features=(8, 8), enc_hidden=16,
+                      dec_features=(16, 8), gate_type='fixed',
+                      gate_subtype='inferred')
+    model = CCVAE(cfg)
+    state = create_train_state(model, TRAIN, jax.random.key(0),
+                               mu_init=mu_init())
+    sup, _ = make_train_steps(model, TRAIN, donate=False)
+    x, y = batch()
+    mu_before = np.array(state.params['mu'])
+    new_state, _ = sup(state, x, y, 0.3)
+    np.testing.assert_array_equal(np.array(new_state.params['mu']),
+                                  mu_before)
+    # but the encoder still trains
+    d = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(state.params['encoder']),
+        jax.tree.leaves(new_state.params['encoder'])))
+    assert d > 0
+
+
+def test_one_one_gating_is_identity():
+    cfg = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                      enc_features=(8, 8), enc_hidden=16,
+                      dec_features=(16, 8), gate_type='fixed',
+                      gate_subtype='one-one')
+    model = CCVAE(cfg)
+    params = model.init(jax.random.key(0))  # no mu_init needed
+    np.testing.assert_array_equal(np.array(params['mu']), np.eye(4))
+
+
+def test_loss_decreases_over_steps(learnable_setup):
+    model, state, sup, _ = learnable_setup
+    x, y = batch(n=8, seed=3)
+    losses = []
+    s = state
+    for i in range(30):
+        s, m = sup(s, x, y, 1.0)
+        losses.append(m['loss'])
+    losses = [float(v) for v in jax.device_get(losses)]
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_rng_differs_per_step(learnable_setup):
+    """Same batch, consecutive steps -> different noise -> different loss
+    even with lr=0 (pure sampling variance)."""
+    model, state, _, _ = learnable_setup
+    cfg0 = TrainConfig(batch_size=8, lr=0.0, classifier_mc_samples=4)
+    sup0, _ = make_train_steps(model, cfg0, donate=False)
+    x, y = batch()
+    s1, m1 = sup0(state, x, y, 1.0)
+    s2, m2 = sup0(s1, x, y, 1.0)
+    assert float(m1['loss']) != float(m2['loss'])
+
+
+class TestSchedule:
+    """Interleave schedule == reference gated_ccvae.py:320-334."""
+
+    def _trainer(self, sup):
+        return Trainer(MODEL,
+                       TrainConfig(batch_size=8, perc_supervision=sup,
+                                   classifier_mc_samples=2),
+                       mu_init=mu_init())
+
+    class FakeLoader:
+        def __init__(self, n):
+            self.n_s = n
+
+    def test_fully_supervised(self):
+        t = self._trainer(1.0)
+        total, period, supb = t.epoch_schedule({'sup': self.FakeLoader(80)})
+        assert (total, period, supb) == (10, 1, 10)
+
+    def test_semi_supervised(self):
+        t = self._trainer(0.5)
+        total, period, supb = t.epoch_schedule(
+            {'sup': self.FakeLoader(40), 'unsup': self.FakeLoader(40)})
+        assert total == 10 and supb == 5 and period == 2
+
+    def test_unsupervised(self):
+        t = self._trainer(0.0)
+        total, period, supb = t.epoch_schedule({'unsup': self.FakeLoader(80)})
+        assert (total, period, supb) == (10, 0, 0)
+
+    def test_sup_batch_positions(self):
+        """is_supervised = (i % period == 0) and ctr < sup_batches."""
+        period, sup_batches, total = 3, 4, 12
+        ctr = 0
+        flags = []
+        for i in range(total):
+            f = (i % period == 0) and ctr < sup_batches
+            ctr += int(f)
+            flags.append(f)
+        assert flags == [True, False, False] * 4
+
+
+def test_trainer_end_to_end_tiny(tmp_path):
+    splits = synthetic_splits(n_train=32, n_valid=8, n_test=8,
+                              sup_frac=0.5, image_size=16, y_dim=4)
+    loaders = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    trainer = Trainer(MODEL,
+                      TrainConfig(batch_size=8, perc_supervision=0.5,
+                                  classifier_mc_samples=2, n_epochs=2),
+                      mu_init=mu_init(),
+                      checkpoint_dir=str(tmp_path / 'ckpt'),
+                      metrics_path=str(tmp_path / 'metrics.csv'))
+    result = trainer.train(loaders, param_dir=str(tmp_path / 'params'))
+    assert np.isfinite(result['best_val_accuracy'])
+    assert len(result['history']) == 2
+    test_acc = trainer.test(loaders['test'])
+    assert 0.0 <= test_acc <= 1.0
+    # learnable gating artifacts exported in reference format
+    import os
+    assert os.path.exists(tmp_path / 'params' /
+                          'learned_gating_matrix_best.npy')
+    assert os.path.exists(tmp_path / 'metrics.csv')
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    model = CCVAE(MODEL)
+    cfg = TrainConfig(batch_size=8, classifier_mc_samples=2)
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               mu_init=mu_init())
+    sup, _ = make_train_steps(model, cfg, donate=False)
+    x, y = batch()
+    s1, _ = sup(state, x, y, 1.0)
+
+    from gltvae.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+    mgr.save(s1, metrics={'val_accuracy': 0.5}, wait=True)
+    restored = mgr.restore(jax.tree.map(np.zeros_like, s1))
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+    # continuing from the restore reproduces the original trajectory
+    s2a, m2a = sup(s1, x, y, 1.0)
+    s2b, m2b = sup(restored, x, y, 1.0)
+    np.testing.assert_allclose(float(m2a['loss']), float(m2b['loss']),
+                               rtol=1e-6)
+    mgr.close()

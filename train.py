@@ -1,0 +1,158 @@
+"""CLI experiment driver.
+
+The TPU-era counterpart of /root/reference/gated_ccvae.py:458-546 +
+configs.py: per-supervision runs (default sweep {1.0, 0.5, 0.2} exactly
+like the reference __main__), building data loaders, gating init, Trainer,
+then train and/or test. Adds: device mesh selection, synthetic-data mode,
+Orbax checkpointing, structured metrics.
+
+Examples:
+  python train.py --epochs 75 --batch-size 256 --gate-type learnable \
+      --data-dir /data/celeba
+  python train.py --synthetic --epochs 2 --sup 0.5        # smoke run
+  python train.py --mesh                                  # DP over all chips
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO,
+                    format='%(asctime)s %(levelname)s %(name)s %(message)s')
+logger = logging.getLogger('gltvae.train')
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('-n', '--epochs', type=int, default=75)
+    p.add_argument('--z-dim', type=int, default=45)
+    p.add_argument('-lr', '--lr', type=float, default=1e-4)
+    p.add_argument('-bs', '--batch-size', type=int, default=256)
+    p.add_argument('--data-dir', default='./data')
+    p.add_argument('--l1-reg', type=float, default=0.2)
+    # reference configs.py:22-23 had broken choices lists; fixed here
+    p.add_argument('--gate-type', default='learnable',
+                   choices=['learnable', 'fixed'])
+    p.add_argument('--gate-subtype', default='inferred',
+                   choices=['one-one', 'inferred'])
+    p.add_argument('--sup', type=float, nargs='*', default=[1.0, 0.5, 0.2],
+                   help='supervision fractions to sweep (reference '
+                        'gated_ccvae.py:544)')
+    p.add_argument('--do-train', action='store_true', default=False)
+    p.add_argument('--do-test', action='store_true', default=True)
+    p.add_argument('--no-test', dest='do_test', action='store_false')
+    p.add_argument('--image-size', type=int, default=64,
+                   choices=[64, 128])
+    p.add_argument('--synthetic', action='store_true',
+                   help='use the synthetic fixture instead of CelebA')
+    p.add_argument('--mesh', action='store_true',
+                   help='data-parallel over all visible devices')
+    p.add_argument('--compute-dtype', default='float32',
+                   choices=['float32', 'bfloat16'])
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--num-workers', type=int, default=8)
+    p.add_argument('--output-dir', default='./models')
+    return p.parse_args(argv)
+
+
+def build_configs(args, sup):
+    from gltvae.config import ModelConfig, TrainConfig, DataConfig, celeba128
+    if args.image_size == 128:
+        model_cfg, _ = celeba128(gate_type=args.gate_type, sup=sup)
+        model_cfg = type(model_cfg)(**{
+            **model_cfg.__dict__, 'compute_dtype': args.compute_dtype})
+    else:
+        model_cfg = ModelConfig(z_dim=args.z_dim,
+                                gate_type=args.gate_type,
+                                gate_subtype=args.gate_subtype,
+                                compute_dtype=args.compute_dtype)
+    train_cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
+                            lr=args.lr, perc_supervision=sup,
+                            gating_reg=args.l1_reg, seed=args.seed)
+    data_cfg = DataConfig(data_dir=args.data_dir,
+                          image_size=args.image_size,
+                          use_easy_labels=(args.image_size == 64),
+                          num_workers=args.num_workers)
+    return model_cfg, train_cfg, data_cfg
+
+
+def make_loaders(args, data_cfg, train_cfg, y_dim):
+    from gltvae.data.pipeline import BatchLoader
+    if args.synthetic:
+        from gltvae.data.synthetic import synthetic_splits
+        from gltvae.ops.gating import gating_matrix_from_labels
+        splits = synthetic_splits(
+            n_train=512, n_valid=128, n_test=128,
+            sup_frac=train_cfg.perc_supervision,
+            image_size=data_cfg.image_size, y_dim=y_dim, seed=args.seed)
+        loaders = {k: BatchLoader(v, train_cfg.batch_size, seed=args.seed)
+                   for k, v in splits.items()}
+        sup_lbl = splits['sup'].labels if 'sup' in splits else None
+        mu = gating_matrix_from_labels(sup_lbl, splits['valid'].labels,
+                                       y_dim, train_cfg.perc_supervision)
+        return loaders, mu
+    from gltvae.data.celeba import CelebAReader
+    reader = CelebAReader(data_cfg, train_cfg.perc_supervision,
+                          train_cfg.batch_size, seed=args.seed)
+    return reader.setup_data_loaders(), reader.init_gating_prob
+
+
+def run(args, sup: float):
+    logger.info('----- supervision %.1f -----', sup)
+    model_cfg, train_cfg, data_cfg = build_configs(args, sup)
+    logger.info('config: %s', json.dumps({
+        'model': model_cfg.__dict__, 'train': train_cfg.__dict__}, default=str))
+
+    loaders, mu_init = make_loaders(args, data_cfg, train_cfg,
+                                    model_cfg.y_dim)
+
+    mesh = None
+    if args.mesh:
+        from gltvae.parallel.mesh import create_mesh
+        mesh = create_mesh()
+        logger.info('mesh: %d devices', mesh.devices.size)
+
+    if args.gate_type == 'learnable':
+        run_name = f'params_{sup}_{args.gate_type}'
+    else:
+        run_name = f'params_{sup}_{args.gate_type}_{args.gate_subtype}'
+    param_dir = os.path.join(args.output_dir, run_name)
+    os.makedirs(param_dir, exist_ok=True)
+
+    from gltvae.train.loop import Trainer
+    trainer = Trainer(model_cfg, train_cfg, mu_init=mu_init, mesh=mesh,
+                      checkpoint_dir=os.path.join(param_dir, 'orbax'),
+                      metrics_path=os.path.join(param_dir, 'metrics.csv'))
+
+    if args.do_train:
+        result = trainer.train(loaders, param_dir=param_dir)
+        logger.info('train done: best val acc %.3f, %.0f img/s',
+                    result['best_val_accuracy'], result['images_per_sec'])
+
+    if args.do_test:
+        if not args.do_train:
+            try:
+                trainer.restore()
+            except FileNotFoundError:
+                logger.warning('no checkpoint to restore; testing fresh init')
+        acc = trainer.test(loaders['test'])
+        logger.info('Test Accuracy (best model): %.3f', acc)
+        return acc
+    return None
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    results = {}
+    for sup in args.sup:
+        results[sup] = run(args, sup)
+    logger.info('sweep results: %s', results)
+    return results
+
+
+if __name__ == '__main__':
+    main()
