@@ -19,13 +19,14 @@ import numpy as np
 
 
 def bench_train_step(batch_size: int, steps: int, warmup: int,
-                     compute_dtype: str, supervised: bool = True):
+                     compute_dtype: str, supervised: bool = True,
+                     scan: int = 0):
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig
     from gltvae.models.ccvae import CCVAE
     from gltvae.train.state import create_train_state
-    from gltvae.train.steps import make_train_steps
+    from gltvae.train.steps import make_train_steps, make_scan_train_steps
 
     cfg = ModelConfig(compute_dtype=compute_dtype)
     train_cfg = TrainConfig(batch_size=batch_size)
@@ -35,22 +36,41 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
     np.fill_diagonal(mu, 1.0)
     state = create_train_state(model, train_cfg, jax.random.key(0),
                                mu_init=mu)
-    sup_step, unsup_step = make_train_steps(model, train_cfg)
-    step = sup_step if supervised else unsup_step
 
     x = jnp.asarray(rng.randint(0, 256, (batch_size, 64, 64, 3)), jnp.uint8)
     y = jnp.asarray((rng.rand(batch_size, 18) > 0.5).astype(np.float32))
 
+    if scan > 1:
+        # n_inner steps per dispatch (amortizes host overhead)
+        sup_step, unsup_step = make_scan_train_steps(model, train_cfg)
+        step_fn = sup_step if supervised else unsup_step
+        xs = jnp.broadcast_to(x, (scan, *x.shape))
+        ys = jnp.broadcast_to(y, (scan, *y.shape))
+
+        def step(s):
+            s, losses = step_fn(s, xs, ys, 1.0)
+            return s, losses[-1]
+        per_call = scan
+    else:
+        sup_step, unsup_step = make_train_steps(model, train_cfg)
+        fn = sup_step if supervised else unsup_step
+
+        def step(s):
+            s, m = fn(s, x, y, 1.0)
+            return s, m['loss']
+        per_call = 1
+
     for _ in range(warmup):
-        state, m = step(state, x, y, 1.0)
-    jax.block_until_ready(m['loss'])
+        state, loss = step(state)
+    jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, m = step(state, x, y, 1.0)
-    jax.block_until_ready(m['loss'])
+        state, loss = step(state)
+    jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt, float(jax.device_get(m['loss']))
+    return (batch_size * steps * per_call / dt,
+            float(jax.device_get(loss)))
 
 
 def bench_traversal(n_steps: int = 8, iters: int = 20):
@@ -81,6 +101,9 @@ def main():
     p.add_argument('--warmup', type=int, default=5)
     p.add_argument('--dtype', default='bfloat16',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--scan', type=int, default=8,
+                   help='inner steps per dispatch via lax.scan '
+                        '(1 = plain per-step dispatch)')
     p.add_argument('--skip-traversal', action='store_true')
     args = p.parse_args()
 
@@ -88,7 +111,8 @@ def main():
     backend = jax.default_backend()
 
     imgs_per_sec, loss = bench_train_step(args.batch_size, args.steps,
-                                          args.warmup, args.dtype)
+                                          args.warmup, args.dtype,
+                                          scan=args.scan)
     traversal_ms = (None if args.skip_traversal else bench_traversal())
 
     baseline = 700.0  # reference images/sec (BASELINE.md, derived)

@@ -64,6 +64,9 @@ class ModelConfig:
     dec_hidden: Optional[int] = None  # None -> z_dim (reference semantics)
     gate_type: str = 'learnable'
     gate_subtype: str = 'inferred'
+    # Uniform Bernoulli label prior p(y). The reference keeps this as a
+    # reassignable variable pinned at 0.5 (gated_ccvae.py:137-141).
+    label_prior: float = 0.5
     # Compute dtype for conv/matmul-heavy paths. Params always f32.
     compute_dtype: str = 'float32'
 

@@ -14,15 +14,36 @@ from gltvae.data.pipeline import ArrayDataset
 
 
 def synthetic_celeba(n: int = 512, image_size: int = 64, y_dim: int = 18,
-                     seed: int = 0) -> ArrayDataset:
+                     seed: int = 0,
+                     learnable_signal: bool = False) -> ArrayDataset:
+    """learnable_signal=False: labels have co-occurrence structure but are
+    image-independent (fast pipeline tests; accuracy stays at the marginal).
+    learnable_signal=True: label j is the brightness of the j-th image
+    patch — a classifier CAN learn it, enabling end-to-end learning tests
+    (accuracy must rise above the label marginal)."""
     rng = np.random.RandomState(seed)
     images = rng.randint(0, 256, size=(n, image_size, image_size, 3),
                          dtype=np.uint8)
-    # Correlated labels: a few latent "factors" each switching a subset on.
-    factors = rng.rand(n, 4) > 0.5
-    assign = rng.randint(0, 4, size=y_dim)
-    probs = np.where(factors[:, assign], 0.8, 0.15)
-    labels = (rng.rand(n, y_dim) < probs).astype(np.float32)
+    if learnable_signal:
+        # tile the image into y_dim patches; label = patch brighter than
+        # mid-gray. Brighten/darken patches to make the signal strong.
+        g = int(np.ceil(np.sqrt(y_dim)))
+        ph = max(1, image_size // g)
+        labels = np.zeros((n, y_dim), np.float32)
+        on = rng.rand(n, y_dim) > 0.5
+        for j in range(y_dim):
+            r, c = divmod(j, g)
+            sl = np.s_[:, r * ph:(r + 1) * ph, c * ph:(c + 1) * ph, :]
+            images[sl] = np.where(on[:, j, None, None, None],
+                                  np.minimum(images[sl] // 2 + 160, 255),
+                                  images[sl] // 4)
+            labels[:, j] = on[:, j]
+    else:
+        # Correlated labels: latent "factors" each switching a subset on.
+        factors = rng.rand(n, 4) > 0.5
+        assign = rng.randint(0, 4, size=y_dim)
+        probs = np.where(factors[:, assign], 0.8, 0.15)
+        labels = (rng.rand(n, y_dim) < probs).astype(np.float32)
     # guarantee no all-zero rows (CelebA property the gating init relies on)
     zero = labels.sum(1) == 0
     labels[zero, rng.randint(0, y_dim, size=int(zero.sum()))] = 1.0

@@ -146,8 +146,10 @@ class CCVAE:
         return z[..., :self.cfg.z_style], z[..., self.cfg.z_style:]
 
     def p_y_probs(self):
-        """Uniform Bernoulli label prior p(y)=0.5 (gated_ccvae.py:141)."""
-        return jnp.full((self.cfg.y_dim,), 0.5, jnp.float32)
+        """Uniform Bernoulli label prior p(y) (gated_ccvae.py:141;
+        0.5 there, configurable here)."""
+        return jnp.full((self.cfg.y_dim,), self.cfg.label_prior,
+                        jnp.float32)
 
     # ------------------- MC classifier marginal q(y|x) -------------------
     def log_qy_x(self, params, key, locs, scales, y, gates, k: int):

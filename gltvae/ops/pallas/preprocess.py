@@ -26,16 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANES = 128
-_BLOCK_ROWS = 512  # 512x128 u8 in / f32 out = 64KB + 256KB per block
-
-
-def _normalize_kernel(scale_ref, u8_ref, out_ref):
-    """out = u8 * scale (scale = 1/255 by default), upcast in VMEM.
-
-    Mosaic has no direct unsigned->float cast; route u8 -> i32 -> f32."""
-    x = u8_ref[:].astype(jnp.int32).astype(jnp.float32)
-    out_ref[:] = x * scale_ref[0]
+_LANES = 512          # 4x the native lane width: wider rows, fewer blocks
+_BLOCK_ROWS = 1024    # 1024x512 u8 in / f32 out = 512KB + 2MB per block
 
 
 def _is_tpu() -> bool:
@@ -45,30 +37,37 @@ def _is_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=('block_rows', 'interpret'))
-def _normalize_2d(u8_2d, scale, block_rows: int, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=('scale', 'block_rows', 'interpret'))
+def _normalize_2d(u8_2d, scale: float, block_rows: int, interpret: bool):
     rows = u8_2d.shape[0]
     grid = (rows // block_rows,)
+
+    def kernel(u8_ref, out_ref):
+        # Mosaic has no direct unsigned->float cast; route u8->i32->f32.
+        # `scale` is a compile-time constant folded into the multiply.
+        x = u8_ref[:].astype(jnp.int32).astype(jnp.float32)
+        out_ref[:] = x * scale
+
     return pl.pallas_call(
-        _normalize_kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block_rows, u8_2d.shape[1]),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_rows, u8_2d.shape[1]),
+                               lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(u8_2d.shape, jnp.float32),
         interpret=interpret,
-    )(scale, u8_2d)
+    )(u8_2d)
 
 
 def _pick_block_rows(rows: int) -> Optional[int]:
     """Largest sublane-aligned block (<= _BLOCK_ROWS) dividing `rows`.
-    Realistic batches divide evenly (a bs-256 CelebA-64 batch is 24,576
-    rows = 48 x 512); odd test shapes fall back to XLA."""
-    for cand in (_BLOCK_ROWS, 256, 64, 32, 8):
+    Realistic batches divide evenly (a bs-256 CelebA-64 batch is 6,144
+    rows of 512 lanes); odd test shapes fall back to XLA."""
+    for cand in (_BLOCK_ROWS, 512, 256, 64, 32, 8):
         if rows % cand == 0:
             return cand
     return None
@@ -81,6 +80,13 @@ def normalize_images(u8: jax.Array, scale: float = 1.0 / 255.0,
     Falls back to interpreter mode off-TPU, and to plain XLA when the
     flattened size is not tile-aligned (it always is for 64/128px RGB
     batches with sublane-multiple batch sizes).
+
+    NOTE: standalone, XLA's fused astype+mul is already at speed of light
+    for this op (and fuses into the consumer conv, costing zero extra HBM
+    round trips) — the train path therefore uses the XLA form by default
+    (train/steps._as_f32_image). This kernel exists for pipelines that
+    want preprocessing fused with custom Pallas stages (flip/crop/augment)
+    and as the tiling template for them.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -90,8 +96,7 @@ def normalize_images(u8: jax.Array, scale: float = 1.0 / 255.0,
     if block_rows is None:
         return u8.astype(jnp.float32) * scale
     flat = u8.reshape(total // _LANES, _LANES)
-    out = _normalize_2d(flat, jnp.asarray([scale], jnp.float32),
-                        block_rows, interpret)
+    out = _normalize_2d(flat, float(scale), block_rows, interpret)
     return out.reshape(u8.shape)
 
 

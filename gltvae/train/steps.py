@@ -105,6 +105,32 @@ def make_elbo_eval_step(model: CCVAE, train_cfg: TrainConfig,
     return jax.jit(elbo_step) if jit else elbo_step
 
 
+def make_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
+                          donate: bool = True) -> Tuple[Callable, Callable]:
+    """Multi-step trainers: (state, xs, ys, gating_temp) -> (state, losses)
+    where xs/ys are stacked [n_inner, B, ...] batches, run via lax.scan
+    inside ONE jit call.
+
+    For a ~1M-param model the per-step host dispatch is a measurable slice
+    of the 0.5ms step; scanning N steps per dispatch amortizes it and lets
+    XLA overlap the uint8 batch uploads with compute. The semantics are
+    identical to calling the per-step function N times (same per-step
+    fold_in RNG stream).
+    """
+    sup, unsup = make_train_steps(model, train_cfg, jit=False)
+
+    def make(fn):
+        def scan_fn(state, xs, ys, gating_temp):
+            def body(s, xy):
+                x, y = xy
+                s, m = fn(s, x, y, gating_temp)
+                return s, m['loss']
+            return jax.lax.scan(body, state, (xs, ys))
+        return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+    return make(sup), make(unsup)
+
+
 def _as_f32_image(x):
     """uint8 [0,255] -> f32 [0,1] on device; f32 passes through.
 

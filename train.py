@@ -54,6 +54,12 @@ def parse_args(argv=None):
     p.add_argument('--compute-dtype', default='float32',
                    choices=['float32', 'bfloat16'])
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--debug-nans', action='store_true',
+                   help='enable jax debug_nans (replaces the reference '
+                        'NaN-gate sys.exit guard with precise tracing)')
+    p.add_argument('--deterministic-eval', action='store_true',
+                   help='mean-z / expected-gate eval instead of the '
+                        'reference stochastic eval')
     p.add_argument('--num-workers', type=int, default=8)
     p.add_argument('--output-dir', default='./models')
     return p.parse_args(argv)
@@ -72,7 +78,8 @@ def build_configs(args, sup):
                                 compute_dtype=args.compute_dtype)
     train_cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, perc_supervision=sup,
-                            gating_reg=args.l1_reg, seed=args.seed)
+                            gating_reg=args.l1_reg, seed=args.seed,
+                            deterministic_eval=args.deterministic_eval)
     data_cfg = DataConfig(data_dir=args.data_dir,
                           image_size=args.image_size,
                           use_easy_labels=(args.image_size == 64),
@@ -147,6 +154,9 @@ def run(args, sup: float):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.debug_nans:
+        import jax
+        jax.config.update('jax_debug_nans', True)
     results = {}
     for sup in args.sup:
         results[sup] = run(args, sup)
