@@ -196,6 +196,21 @@ class Trainer:
         (gated_ccvae.py:534-536)."""
         return self.evaluate(loader, gating_temp=self.cfg.eval_gating_temp)
 
+    def test_elbo(self, loader, gating_temp: Optional[float] = None) -> float:
+        """Mean unsupervised test ELBO — the BASELINE 'matched test ELBO'
+        meter (framework addition; the reference reports only accuracy)."""
+        from gltvae.train.steps import make_elbo_eval_step
+        if not hasattr(self, '_elbo_step'):
+            self._elbo_step = make_elbo_eval_step(self.model, self.cfg)
+        temp = self.gating_temp if gating_temp is None else gating_temp
+        it = iter(loader)
+        vals = []
+        for _ in range(loader.epoch_batches):
+            x, _ = self._place(next(it))
+            self._eval_key, sub = jax.random.split(self._eval_key)
+            vals.append(self._elbo_step(self.state.params, x, sub, temp))
+        return float(np.mean(jax.device_get(vals)))
+
     def restore(self, step: Optional[int] = None):
         if self.ckpt is None:
             raise ValueError('no checkpoint_dir configured')

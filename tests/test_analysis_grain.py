@@ -1,0 +1,86 @@
+"""Gating analysis module + grain loader backend tests."""
+
+import numpy as np
+import pytest
+
+from gltvae.eval.analysis import (off_diagonal_gates,
+                                  gating_threshold_analysis,
+                                  compare_init_vs_learned)
+
+
+class TestAnalysis:
+    def test_off_diagonal_gates_matches_naive(self, rng):
+        mu = rng.rand(18, 18)
+        got = off_diagonal_gates(mu, 0.6)
+        want = [(z, y, mu[z, y]) for z in range(18) for y in range(18)
+                if z != y and mu[z, y] > 0.6]
+        assert sorted(got) == sorted(want)
+
+    def test_threshold_counts_match_reference_loop(self, rng):
+        """Oracle: the reference's counting (Quantitative_analysis.py:45-52)."""
+        mu = rng.rand(18, 18)
+        got = dict(gating_threshold_analysis(mu))
+        for t in (0.1, 0.5, 0.9):
+            zs, ys = np.where(mu > t)
+            want = len([(z, y) for z, y in zip(zs, ys) if z != y])
+            assert got[t] == want
+
+    def test_compare_shapes(self, rng):
+        out = compare_init_vs_learned(rng.rand(4, 4), rng.rand(4, 4))
+        assert set(out) == {'init', 'learned'}
+        assert len(out['init']) == 9
+
+    def test_reference_artifacts_analysis(self):
+        """End-to-end over the reference's shipped matrices: learnable
+        training must have produced SOME off-diagonal structure."""
+        import os
+        p = '/root/reference/models/params_1.0_learnable/learned_gating_matrix_best.npy'
+        if not os.path.exists(p):
+            pytest.skip('reference artifacts unavailable')
+        learned = np.load(p)
+        counts = dict(gating_threshold_analysis(learned))
+        assert counts[0.1] > 0
+        assert counts[0.9] == 0  # gates are means in [0,1], never saturated
+
+
+class TestGrainLoader:
+    @pytest.fixture
+    def jpeg_split(self, tmp_path):
+        import PIL.Image
+        rng = np.random.RandomState(0)
+        ids, labels = [], rng.rand(12, 18) > 0.5
+        for i in range(12):
+            name = f'{i:06d}.jpg'
+            PIL.Image.fromarray(
+                rng.randint(0, 255, (100, 80, 3), dtype=np.uint8)
+            ).save(tmp_path / name)
+            ids.append(name)
+        return str(tmp_path), ids, labels.astype(np.float32)
+
+    def test_grain_batches(self, jpeg_split):
+        from gltvae.data import grain_loader
+        if not grain_loader.is_available():
+            pytest.skip('grain unavailable')
+        image_dir, ids, labels = jpeg_split
+        loader = grain_loader.make_grain_loader(
+            image_dir, ids, labels, batch_size=4, image_size=32, seed=0)
+        assert loader.n_s == 12
+        assert loader.epoch_batches == 3
+        it = iter(loader)
+        for _ in range(4):  # crosses the epoch boundary (repeat)
+            x, y = next(it)
+            assert x.shape == (4, 32, 32, 3) and x.dtype == np.uint8
+            assert y.shape == (4, 18)
+
+    def test_grain_sharding(self, jpeg_split):
+        from gltvae.data import grain_loader
+        if not grain_loader.is_available():
+            pytest.skip('grain unavailable')
+        import grain.python as grain
+        image_dir, ids, labels = jpeg_split
+        loader = grain_loader.make_grain_loader(
+            image_dir, ids, labels, batch_size=2, image_size=32, seed=0,
+            shuffle=False,
+            shard_options=grain.ShardOptions(shard_index=0, shard_count=2))
+        x, y = next(iter(loader))
+        assert x.shape == (2, 32, 32, 3)

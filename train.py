@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument('--deterministic-eval', action='store_true',
                    help='mean-z / expected-gate eval instead of the '
                         'reference stochastic eval')
+    p.add_argument('--parity', action='store_true',
+                   help='reference-exact loader quirks (shuffle indices '
+                        'once at init instead of every epoch, '
+                        'utils_data.py:39-40)')
     p.add_argument('--num-workers', type=int, default=8)
     p.add_argument('--output-dir', default='./models')
     return p.parse_args(argv)
@@ -96,7 +100,8 @@ def make_loaders(args, data_cfg, train_cfg, y_dim):
             n_train=512, n_valid=128, n_test=128,
             sup_frac=train_cfg.perc_supervision,
             image_size=data_cfg.image_size, y_dim=y_dim, seed=args.seed)
-        loaders = {k: BatchLoader(v, train_cfg.batch_size, seed=args.seed)
+        loaders = {k: BatchLoader(v, train_cfg.batch_size, seed=args.seed,
+                                  reshuffle_each_epoch=not args.parity)
                    for k, v in splits.items()}
         sup_lbl = splits['sup'].labels if 'sup' in splits else None
         mu = gating_matrix_from_labels(sup_lbl, splits['valid'].labels,
@@ -104,7 +109,8 @@ def make_loaders(args, data_cfg, train_cfg, y_dim):
         return loaders, mu
     from gltvae.data.celeba import CelebAReader
     reader = CelebAReader(data_cfg, train_cfg.perc_supervision,
-                          train_cfg.batch_size, seed=args.seed)
+                          train_cfg.batch_size, seed=args.seed,
+                          reshuffle_each_epoch=not args.parity)
     return reader.setup_data_loaders(), reader.init_gating_prob
 
 
@@ -141,11 +147,12 @@ def run(args, sup: float):
                     result['best_val_accuracy'], result['images_per_sec'])
 
     if args.do_test:
-        if not args.do_train:
-            try:
-                trainer.restore()
-            except FileNotFoundError:
-                logger.warning('no checkpoint to restore; testing fresh init')
+        # Test the BEST checkpoint (reference: load_model(param_dir,'best'),
+        # gated_ccvae.py:531-533) — not the last training state.
+        try:
+            trainer.restore()
+        except FileNotFoundError:
+            logger.warning('no checkpoint to restore; testing fresh init')
         acc = trainer.test(loaders['test'])
         logger.info('Test Accuracy (best model): %.3f', acc)
         return acc
