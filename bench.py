@@ -101,7 +101,7 @@ def main():
     p.add_argument('--warmup', type=int, default=5)
     p.add_argument('--dtype', default='bfloat16',
                    choices=['float32', 'bfloat16'])
-    p.add_argument('--scan', type=int, default=8,
+    p.add_argument('--scan', type=int, default=32,
                    help='inner steps per dispatch via lax.scan '
                         '(1 = plain per-step dispatch)')
     p.add_argument('--skip-traversal', action='store_true')

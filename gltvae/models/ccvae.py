@@ -259,6 +259,30 @@ class CCVAE:
                       log_qy_x=jnp.mean(log_qy_x), gates=c)
         return loss, aux
 
+    # --------------------------- generation ---------------------------
+    def reconstruct(self, params, x, key=None):
+        """x -> q(z|x) -> p(x|z). Posterior mean when key is None."""
+        locs, scales = self.encode(params, x)
+        z = locs if key is None else sample_normal(key, locs, scales)
+        return self.decode(params, z)
+
+    def sample_conditional(self, params, y, key, temps: Temps,
+                           deterministic_gates: bool = False):
+        """Attribute-conditioned generation (capability implied by the
+        reference's conditional prior, networks.py:109-127, but never
+        exposed there): z_classify ~ p(z_classify|y,c), z_style ~ N(0,I),
+        x = decoder(z)."""
+        key_gate, key_zc, key_zs = jax.random.split(key, 3)
+        if deterministic_gates:
+            c = sample_gating_deterministic(params['mu'])
+        else:
+            c = sample_gating(key_gate, params['mu'], temps.gating)
+        locs, scales = self.prior_zc(params, y.astype(jnp.float32), c)
+        zc = sample_normal(key_zc, locs, scales)
+        zs = jax.random.normal(key_zs, (y.shape[0], self.cfg.z_style),
+                               dtype=jnp.float32)
+        return self.decode(params, jnp.concatenate([zs, zc], axis=-1))
+
     # ------------------------------ eval ------------------------------
     def predict_labels(self, params, x, key, temps: Temps,
                        deterministic: bool = False):
