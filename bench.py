@@ -20,25 +20,32 @@ import numpy as np
 
 def bench_train_step(batch_size: int, steps: int, warmup: int,
                      compute_dtype: str, supervised: bool = True,
-                     scan: int = 0):
+                     scan: int = 0, image_size: int = 64):
     import jax
     import jax.numpy as jnp
-    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.config import ModelConfig, TrainConfig, celeba128
     from gltvae.models.ccvae import CCVAE
     from gltvae.train.state import create_train_state
     from gltvae.train.steps import make_train_steps, make_scan_train_steps
 
-    cfg = ModelConfig(compute_dtype=compute_dtype)
+    if image_size == 128:
+        cfg, _ = celeba128()
+        cfg = ModelConfig(**{**cfg.__dict__, 'compute_dtype': compute_dtype})
+    else:
+        cfg = ModelConfig(compute_dtype=compute_dtype)
     train_cfg = TrainConfig(batch_size=batch_size)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
-    mu = rng.rand(18, 18).astype(np.float32)
+    yd = cfg.y_dim
+    mu = rng.rand(yd, yd).astype(np.float32)
     np.fill_diagonal(mu, 1.0)
     state = create_train_state(model, train_cfg, jax.random.key(0),
                                mu_init=mu)
 
-    x = jnp.asarray(rng.randint(0, 256, (batch_size, 64, 64, 3)), jnp.uint8)
-    y = jnp.asarray((rng.rand(batch_size, 18) > 0.5).astype(np.float32))
+    x = jnp.asarray(rng.randint(0, 256,
+                                (batch_size, image_size, image_size, 3)),
+                    jnp.uint8)
+    y = jnp.asarray((rng.rand(batch_size, yd) > 0.5).astype(np.float32))
 
     if scan > 1:
         # n_inner steps per dispatch (amortizes host overhead)
@@ -104,6 +111,7 @@ def main():
     p.add_argument('--scan', type=int, default=32,
                    help='inner steps per dispatch via lax.scan '
                         '(1 = plain per-step dispatch)')
+    p.add_argument('--image-size', type=int, default=64, choices=[64, 128])
     p.add_argument('--skip-traversal', action='store_true')
     args = p.parse_args()
 
@@ -112,13 +120,14 @@ def main():
 
     imgs_per_sec, loss = bench_train_step(args.batch_size, args.steps,
                                           args.warmup, args.dtype,
-                                          scan=args.scan)
+                                          scan=args.scan,
+                                          image_size=args.image_size)
     traversal_ms = (None if args.skip_traversal else bench_traversal())
 
     baseline = 700.0  # reference images/sec (BASELINE.md, derived)
     result = {
-        'metric': 'ELBO train images/sec/chip (CelebA-64, sup step, bs %d, %s)'
-                  % (args.batch_size, args.dtype),
+        'metric': 'ELBO train images/sec/chip (CelebA-%d, sup step, bs %d, %s)'
+                  % (args.image_size, args.batch_size, args.dtype),
         'value': round(imgs_per_sec, 1),
         'unit': 'images/sec',
         'vs_baseline': round(imgs_per_sec / baseline, 2),

@@ -103,13 +103,32 @@ class Trainer:
     # ------------------------------- train -------------------------------
     def train(self, loaders: Dict, param_dir: Optional[str] = None,
               epochs: Optional[int] = None,
-              log_every: int = 50) -> Dict:
+              log_every: int = 50,
+              resume: bool = False) -> Dict:
         cfg = self.cfg
         epochs = cfg.n_epochs if epochs is None else epochs
         best_val_acc = -np.inf
         history = []
+        start_epoch = 0
 
-        for epoch in range(epochs):
+        if resume and self.ckpt is not None and \
+                self.ckpt.latest_step() is not None:
+            # Preemption-safe resume: restore the full state (params, Adam
+            # moments, step, RNG) and fast-forward the epoch/temperature
+            # schedule. The reference cannot do this (weights-only saves,
+            # gated_ccvae.py:388-419).
+            self.state = self.ckpt.restore(self.state,
+                                           step=self.ckpt.latest_step())
+            total, _, _ = self.epoch_schedule(loaders)
+            start_epoch = int(self.state.step) // total
+            if self.model.cfg.gate_type == 'learnable':
+                self.gating_temp = (
+                    self.cfg.gating_temp_for(self.model.cfg)
+                    * cfg.gating_temp_decay ** start_epoch)
+            logger.info('resumed at step %d (epoch %d), gating temp %.4f',
+                        int(self.state.step), start_epoch, self.gating_temp)
+
+        for epoch in range(start_epoch, epochs):
             total, period, sup_batches = self.epoch_schedule(loaders)
             sup_iter = iter(loaders['sup']) if 'sup' in loaders else None
             unsup_iter = (iter(loaders['unsup'])

@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument('--deterministic-eval', action='store_true',
                    help='mean-z / expected-gate eval instead of the '
                         'reference stochastic eval')
+    p.add_argument('--resume', action='store_true',
+                   help='resume from the latest Orbax checkpoint if one '
+                        'exists (full state: params, Adam moments, step, '
+                        'RNG, temperature schedule)')
     p.add_argument('--parity', action='store_true',
                    help='reference-exact loader quirks (shuffle indices '
                         'once at init instead of every epoch, '
@@ -142,7 +146,8 @@ def run(args, sup: float):
                       metrics_path=os.path.join(param_dir, 'metrics.csv'))
 
     if args.do_train:
-        result = trainer.train(loaders, param_dir=param_dir)
+        result = trainer.train(loaders, param_dir=param_dir,
+                               resume=args.resume)
         logger.info('train done: best val acc %.3f, %.0f img/s',
                     result['best_val_accuracy'], result['images_per_sec'])
 
