@@ -118,6 +118,15 @@ def main():
     import jax
     backend = jax.default_backend()
 
+    def peak_mb():
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            v = stats.get('peak_bytes_in_use', 0)
+            # some backends (e.g. the axon tunnel) report no stats
+            return round(v / 2**20, 1) if v else None
+        except Exception:
+            return None
+
     imgs_per_sec, loss = bench_train_step(args.batch_size, args.steps,
                                           args.warmup, args.dtype,
                                           scan=args.scan,
@@ -135,6 +144,7 @@ def main():
         'final_loss': round(loss, 2),
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),
+        'peak_hbm_mb': peak_mb(),
     }
     print(json.dumps(result))
 

@@ -1,0 +1,58 @@
+"""CLI config plumbing (train.py) — argument parsing and config
+construction, including the 128px path and reference-default parity."""
+
+import pytest
+
+import train as cli
+
+
+def test_defaults_match_reference():
+    """configs.py:4-27 defaults: 75 epochs, z 45, lr 1e-4, bs 256,
+    l1 0.2, learnable/inferred, sup sweep {1.0, 0.5, 0.2}."""
+    a = cli.parse_args([])
+    assert a.epochs == 75 and a.z_dim == 45 and a.lr == 1e-4
+    assert a.batch_size == 256 and a.l1_reg == 0.2
+    assert a.gate_type == 'learnable' and a.gate_subtype == 'inferred'
+    assert a.sup == [1.0, 0.5, 0.2]
+    assert a.do_test and not a.do_train
+
+
+def test_short_flags():
+    a = cli.parse_args(['-n', '10', '-bs', '64', '-lr', '0.001'])
+    assert a.epochs == 10 and a.batch_size == 64 and a.lr == 0.001
+
+
+def test_build_configs_64():
+    a = cli.parse_args(['--compute-dtype', 'bfloat16'])
+    m, t, d = cli.build_configs(a, sup=0.5)
+    assert m.z_dim == 45 and m.y_dim == 18
+    assert m.compute_dtype == 'bfloat16'
+    assert t.perc_supervision == 0.5
+    assert t.gating_temp_for(m) == 1.0   # learnable
+    assert d.use_easy_labels
+
+
+def test_build_configs_128():
+    a = cli.parse_args(['--image-size', '128'])
+    m, t, d = cli.build_configs(a, sup=1.0)
+    assert m.image_size == 128 and m.y_dim == 40 and m.z_dim == 100
+    assert not d.use_easy_labels
+
+
+def test_fixed_gate_temp():
+    a = cli.parse_args(['--gate-type', 'fixed', '--gate-subtype', 'one-one'])
+    m, t, _ = cli.build_configs(a, sup=1.0)
+    assert t.gating_temp_for(m) == 0.3   # gated_ccvae.py:474
+
+
+def test_invalid_choice_rejected():
+    with pytest.raises(SystemExit):
+        cli.parse_args(['--gate-subtype', 'bogus'])
+
+
+def test_synthetic_loaders_modes():
+    a = cli.parse_args(['--synthetic', '-bs', '8'])
+    _, t, d = cli.build_configs(a, sup=0.5)
+    loaders, mu = cli.make_loaders(a, d, t, y_dim=18)
+    assert set(loaders) == {'sup', 'unsup', 'valid', 'test'}
+    assert mu.shape == (18, 18)
