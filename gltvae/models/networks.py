@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
+from gltvae.ops.sampling import clip_passthrough
+
 # Keras-compatible initializers: conv/dense default to glorot_uniform,
 # the reference's custom gating layers use RandomNormal(stddev=0.05)
 # ('random_normal', networks.py:69-70) and zeros/ones (networks.py:97-100).
@@ -111,7 +113,7 @@ class Encoder(nn.Module):
                          precision=self.precision, name='scale')(h)
         # Scale head numerics stay f32 regardless of compute dtype.
         scale = jax.nn.softplus(scale.astype(jnp.float32))
-        scale = jnp.clip(scale, 1e-3, 1e3)
+        scale = clip_passthrough(scale, 1e-3, 1e3)
         return locs.astype(jnp.float32), scale
 
 
@@ -204,5 +206,5 @@ class ConditionalPrior(nn.Module):
         locs = y @ (ct * w_loc_t) + (1.0 - y) @ (ct * w_loc_f)
         scale = y @ (ct * w_sc_t) + (1.0 - y) @ (ct * w_sc_f)
         scale = jax.nn.softplus(scale)
-        scale = jnp.clip(scale, 1e-3, 1e3)
+        scale = clip_passthrough(scale, 1e-3, 1e3)
         return locs, scale

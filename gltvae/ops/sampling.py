@@ -17,6 +17,15 @@ import jax
 import jax.numpy as jnp
 
 
+def clip_passthrough(x, lo, hi):
+    """clip with TF's gradient semantics: d/dx = 1 for lo <= x <= hi
+    (inclusive), 0 outside. jnp.clip is minimum(maximum(...)) whose
+    gradient splits 0.5/0.5 at exact ties — and the gating means sit
+    EXACTLY at 1.0 on the diagonal (co-occurrence init, utils.py:148),
+    so the tie case is the common case, not a corner."""
+    return jnp.where(x < lo, lo, jnp.where(x > hi, hi, x))
+
+
 def sample_gumbel(key, shape, eps=1e-20, dtype=jnp.float32):
     """g = -log(-log(U + ε) + ε), U ~ Uniform[0,1).
 
@@ -43,7 +52,7 @@ def sample_gating(key, mu, temperature, eps=1e-20):
     clipped to [0,1] first; two independent Gumbel noises drive the
     relaxation. Returns c with the same shape as μ, values in (0,1).
     """
-    mu = jnp.clip(mu, 0.0, 1.0)
+    mu = clip_passthrough(mu, 0.0, 1.0)
     k1, k2 = jax.random.split(key)
     g1 = sample_gumbel(k1, mu.shape, eps=eps, dtype=mu.dtype)
     g2 = sample_gumbel(k2, mu.shape, eps=eps, dtype=mu.dtype)
