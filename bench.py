@@ -55,8 +55,8 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
         ys = jnp.broadcast_to(y, (scan, *y.shape))
 
         def step(s):
-            s, losses = step_fn(s, xs, ys, 1.0)
-            return s, losses[-1]
+            s, ms = step_fn(s, xs, ys, 1.0)
+            return s, ms['loss'][-1]
         per_call = scan
     else:
         sup_step, unsup_step = make_train_steps(model, train_cfg)

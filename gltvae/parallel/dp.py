@@ -59,6 +59,25 @@ def make_parallel_train_steps(model: CCVAE, train_cfg: TrainConfig,
     return jax.jit(sup, **kwargs), jax.jit(unsup, **kwargs)
 
 
+def make_parallel_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
+                                   mesh: Mesh,
+                                   donate: bool = True
+                                   ) -> Tuple[Callable, Callable]:
+    """Scan variant on the mesh: stacked [n_inner, B, ...] batches sharded
+    over 'data' on axis 1; n_inner steps run per dispatch with the
+    gradient psum inside the scan body (one compiled SPMD program)."""
+    from gltvae.train.steps import make_scan_train_steps
+    sup, unsup = make_scan_train_steps(model, train_cfg, jit=False)
+    repl = replicated_sharding(mesh)
+    bsh = NamedSharding(mesh, P(None, 'data'))
+    kwargs = dict(
+        in_shardings=(repl, bsh, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+    return jax.jit(sup, **kwargs), jax.jit(unsup, **kwargs)
+
+
 def make_parallel_eval_step(model: CCVAE, train_cfg: TrainConfig,
                             mesh: Mesh) -> Callable:
     ev = _steps.make_eval_step(model, train_cfg, jit=False)

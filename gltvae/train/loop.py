@@ -50,28 +50,43 @@ class Trainer:
                  mesh=None,
                  checkpoint_dir: Optional[str] = None,
                  metrics_path: Optional[str] = None,
-                 nan_check_every: int = 50):
+                 nan_check_every: int = 50,
+                 steps_per_dispatch: int = 1):
         self.model = CCVAE(model_cfg)
         self.cfg = train_cfg
         self.mesh = mesh
         self.nan_check_every = nan_check_every
+        # >1: lax.scan N same-kind steps per dispatch (uniform schedules
+        # only — fully supervised or fully unsupervised; the semi-sup
+        # interleave falls back to per-step). Semantics identical.
+        self.steps_per_dispatch = max(1, steps_per_dispatch)
 
         key = jax.random.key(train_cfg.seed)
         self.state = create_train_state(self.model, train_cfg, key,
                                         mu_init=mu_init)
+        self._scan_sup = self._scan_unsup = None
         if mesh is not None:
             from gltvae.parallel.dp import (make_parallel_train_steps,
+                                            make_parallel_scan_train_steps,
                                             make_parallel_eval_step,
                                             shard_state, shard_batch)
             self.state = shard_state(self.state, mesh)
             self._sup_step, self._unsup_step = make_parallel_train_steps(
                 self.model, train_cfg, mesh)
+            if self.steps_per_dispatch > 1:
+                self._scan_sup, self._scan_unsup = \
+                    make_parallel_scan_train_steps(self.model, train_cfg,
+                                                   mesh)
             self._eval_step = make_parallel_eval_step(self.model, train_cfg,
                                                       mesh)
             self._place = lambda b: shard_batch(b, mesh)
         else:
+            from gltvae.train.steps import make_scan_train_steps
             self._sup_step, self._unsup_step = make_train_steps(
                 self.model, train_cfg)
+            if self.steps_per_dispatch > 1:
+                self._scan_sup, self._scan_unsup = make_scan_train_steps(
+                    self.model, train_cfg)
             self._eval_step = make_eval_step(self.model, train_cfg)
             self._place = lambda b: b
 
@@ -137,27 +152,42 @@ class Trainer:
             pending_gates = []
             t_epoch = time.perf_counter()
 
-            for i in range(total):
+            # scanning is only valid when every batch in a chunk is the
+            # same kind: fully supervised (period==1) or fully
+            # unsupervised (period==0)
+            can_scan = (self._scan_sup is not None and period <= 1)
+            i = 0
+            while i < total:
                 is_sup = (period > 0 and i % period == 0
                           and ctr_sup < sup_batches)
-                if is_sup:
-                    x, y = next(sup_iter)
-                    ctr_sup += 1
-                    step_fn = self._sup_step
+                n = min(self.steps_per_dispatch, total - i) if can_scan else 1
+                it = sup_iter if is_sup else unsup_iter
+                if n > 1:
+                    bx, by = zip(*(next(it) for _ in range(n)))
+                    xs, ys = self._place((np.stack(bx), np.stack(by)))
+                    step_fn = self._scan_sup if is_sup else self._scan_unsup
+                    self.state, ms = step_fn(self.state, xs, ys,
+                                             self.gating_temp)
+                    m = {k: v[-1] for k, v in ms.items()}  # lazy device idx
+                    m['c_nan'] = ms['c_nan'].any()  # over the whole chunk
+                    self.throughput.step(n * bx[0].shape[0])
                 else:
-                    x, y = next(unsup_iter)
-                    step_fn = self._unsup_step
-                x, y = self._place((x, y))
-                self.state, m = step_fn(self.state, x, y, self.gating_temp)
-                self.throughput.step(len(x))
+                    x, y = self._place(next(it))
+                    step_fn = self._sup_step if is_sup else self._unsup_step
+                    self.state, m = step_fn(self.state, x, y,
+                                            self.gating_temp)
+                    self.throughput.step(len(x))
+                if is_sup:
+                    ctr_sup += n
+                i += n
                 pending_gates.append(m['c_nan'])
-                if (i + 1) % self.nan_check_every == 0 or i + 1 == total:
-                    if any(bool(v) for v in jax.device_get(pending_gates)):
+                if i % self.nan_check_every < n or i == total:
+                    if any(np.any(v) for v in jax.device_get(pending_gates)):
                         raise NanGateError(
                             f'NaN gates at epoch {epoch} step {i}')
                     pending_gates.clear()
-                if i % log_every == 0:
-                    self.metrics.log(int(i + epoch * total),
+                if (i - n) % log_every < n:
+                    self.metrics.log(int(i - n + epoch * total),
                                      {k: v for k, v in m.items()
                                       if k != 'c_nan'},
                                      epoch=epoch, supervised=int(is_sup))

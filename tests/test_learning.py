@@ -55,9 +55,9 @@ def test_scan_steps_match_per_step_dispatch():
         losses_seq.append(float(m['loss']))
 
     scan_sup, _ = make_scan_train_steps(model, cfg, donate=False)
-    s_scan, losses_scan = scan_sup(state0, xs, ys, 1.0)
+    s_scan, ms_scan = scan_sup(state0, xs, ys, 1.0)
 
-    np.testing.assert_allclose(np.array(losses_scan), losses_seq,
+    np.testing.assert_allclose(np.array(ms_scan['loss']), losses_seq,
                                rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s_seq.params),
                     jax.tree.leaves(s_scan.params)):

@@ -68,6 +68,9 @@ def parse_args(argv=None):
                    help='reference-exact loader quirks (shuffle indices '
                         'once at init instead of every epoch, '
                         'utils_data.py:39-40)')
+    p.add_argument('--steps-per-dispatch', type=int, default=1,
+                   help='lax.scan N same-kind steps per device dispatch '
+                        '(uniform schedules only; semantics identical)')
     p.add_argument('--num-workers', type=int, default=8)
     p.add_argument('--output-dir', default='./models')
     return p.parse_args(argv)
@@ -143,7 +146,8 @@ def run(args, sup: float):
     from gltvae.train.loop import Trainer
     trainer = Trainer(model_cfg, train_cfg, mu_init=mu_init, mesh=mesh,
                       checkpoint_dir=os.path.join(param_dir, 'orbax'),
-                      metrics_path=os.path.join(param_dir, 'metrics.csv'))
+                      metrics_path=os.path.join(param_dir, 'metrics.csv'),
+                      steps_per_dispatch=args.steps_per_dispatch)
 
     if args.do_train:
         result = trainer.train(loaders, param_dir=param_dir,
