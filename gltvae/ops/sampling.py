@@ -59,6 +59,11 @@ def sample_gating(key, mu, temperature, eps=1e-20):
     num = jnp.exp((g2 - g1) / temperature)
     t1 = jnp.power(mu, 1.0 / temperature)
     t2 = jnp.power(1.0 - mu, 1.0 / temperature) * num
+    # Hardening over the reference: at μ=1 with low T, (1-μ)^{1/T}=0 and
+    # the Gumbel ratio can overflow to inf, making t2 = 0·inf = NaN — the
+    # exact condition the reference's NaN guard sys.exit's on
+    # (gated_ccvae.py:371-375). The correct limit is t2=0 (gate surely on).
+    t2 = jnp.where(mu >= 1.0, 0.0, t2)
     return t1 / (t1 + t2 + eps)
 
 
