@@ -52,11 +52,12 @@ def synthetic_celeba(n: int = 512, image_size: int = 64, y_dim: int = 18,
 
 def synthetic_splits(n_train: int = 256, n_valid: int = 64, n_test: int = 64,
                      sup_frac: float = 0.5, image_size: int = 64,
-                     y_dim: int = 18, seed: int = 0):
+                     y_dim: int = 18, seed: int = 0,
+                     learnable_signal: bool = False):
     """Dict of ArrayDatasets mimicking CelebAReader.setup_data_loaders
     modes (utils_data.py:178-196): sup/unsup/valid/test by sup_frac."""
     full = synthetic_celeba(n_train + n_valid + n_test, image_size, y_dim,
-                            seed)
+                            seed, learnable_signal=learnable_signal)
     train_im, train_lb = full.images[:n_train], full.labels[:n_train]
     out = {}
     if sup_frac == 0.0:

@@ -49,6 +49,10 @@ def parse_args(argv=None):
                    choices=[64, 128])
     p.add_argument('--synthetic', action='store_true',
                    help='use the synthetic fixture instead of CelebA')
+    p.add_argument('--synthetic-n', type=int, default=512,
+                   help='synthetic train-set size')
+    p.add_argument('--synthetic-signal', action='store_true',
+                   help='image-correlated synthetic labels (learnable)')
     p.add_argument('--mesh', action='store_true',
                    help='data-parallel over all visible devices')
     p.add_argument('--compute-dtype', default='float32',
@@ -104,9 +108,11 @@ def make_loaders(args, data_cfg, train_cfg, y_dim):
         from gltvae.data.synthetic import synthetic_splits
         from gltvae.ops.gating import gating_matrix_from_labels
         splits = synthetic_splits(
-            n_train=512, n_valid=128, n_test=128,
+            n_train=args.synthetic_n, n_valid=max(64, args.synthetic_n // 8),
+            n_test=max(64, args.synthetic_n // 8),
             sup_frac=train_cfg.perc_supervision,
-            image_size=data_cfg.image_size, y_dim=y_dim, seed=args.seed)
+            image_size=data_cfg.image_size, y_dim=y_dim, seed=args.seed,
+            learnable_signal=args.synthetic_signal)
         loaders = {k: BatchLoader(v, train_cfg.batch_size, seed=args.seed,
                                   reshuffle_each_epoch=not args.parity)
                    for k, v in splits.items()}
