@@ -1,6 +1,12 @@
 """Benchmark harness: ELBO train images/sec/chip on CelebA-64 (+ traversal
 latency), printed as ONE JSON line.
 
+Timing fences are HOST FETCHES of a terminal scalar, not
+jax.block_until_ready: on some experimental backends (e.g. the axon TPU
+tunnel) block_until_ready returns at enqueue, which silently inflates
+throughput by >10x. A device_get of a value data-dependent on the last
+step cannot return before the device finishes, on any backend.
+
 Baseline (BASELINE.md): the reference trains at ~700 images/sec
 (162,770 imgs / ~233 s epoch, sup=1.0 learnable, bs 256, hardware
 unspecified) — vs_baseline is measured against that number.
@@ -48,11 +54,15 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
     y = jnp.asarray((rng.rand(batch_size, yd) > 0.5).astype(np.float32))
 
     if scan > 1:
-        # n_inner steps per dispatch (amortizes host overhead)
+        # n_inner steps per dispatch (amortizes host overhead);
+        # distinct per-slot batches so nothing is hoistable
         sup_step, unsup_step = make_scan_train_steps(model, train_cfg)
         step_fn = sup_step if supervised else unsup_step
-        xs = jnp.broadcast_to(x, (scan, *x.shape))
-        ys = jnp.broadcast_to(y, (scan, *y.shape))
+        xs = jnp.asarray(rng.randint(
+            0, 256, (scan, batch_size, image_size, image_size, 3)),
+            jnp.uint8)
+        ys = jnp.asarray((rng.rand(scan, batch_size, yd) > 0.5)
+                         .astype(np.float32))
 
         def step(s):
             s, ms = step_fn(s, xs, ys, 1.0)
@@ -69,15 +79,14 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
 
     for _ in range(warmup):
         state, loss = step(state)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))  # completion fence (see module docstring)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss = step(state)
-    jax.block_until_ready(loss)
+    final_loss = float(jax.device_get(loss))  # fence: data-dependent fetch
     dt = time.perf_counter() - t0
-    return (batch_size * steps * per_call / dt,
-            float(jax.device_get(loss)))
+    return batch_size * steps * per_call / dt, final_loss
 
 
 def bench_traversal(n_steps: int = 8, iters: int = 20):
@@ -91,13 +100,15 @@ def bench_traversal(n_steps: int = 8, iters: int = 20):
     mu = np.eye(18, dtype=np.float32)
     params = model.init(jax.random.key(0), mu_init=mu)
     fn = make_traversal_fn(model, n_steps=n_steps)  # 45 dims x 8 = 360 imgs
+    checksum = jax.jit(jnp.sum)
     z = jnp.zeros((45,), jnp.float32)
     out = fn(params, z)
-    jax.block_until_ready(out)
+    float(jax.device_get(checksum(out)))  # compile + completion fence
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(params, z)
-    jax.block_until_ready(out)
+    # device work is stream-ordered: fencing the last grid fences all
+    float(jax.device_get(checksum(out)))
     return (time.perf_counter() - t0) / iters * 1000.0  # ms per grid
 
 
