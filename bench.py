@@ -89,6 +89,38 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
     return batch_size * steps * per_call / dt, final_loss
 
 
+def bench_eval(batch_size: int, iters: int = 30):
+    """Stochastic eval throughput (reference baseline: ~400-450 img/s,
+    BASELINE.md eval rows). Chained keys keep iterations ordered; fenced
+    by a host fetch."""
+    import jax
+    import jax.numpy as jnp
+    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.train.state import create_train_state
+    from gltvae.train.steps import make_eval_step
+
+    cfg = ModelConfig(compute_dtype='bfloat16')
+    tc = TrainConfig(batch_size=batch_size)
+    model = CCVAE(cfg)
+    rng = np.random.RandomState(0)
+    mu = rng.rand(18, 18).astype(np.float32)
+    state = create_train_state(model, tc, jax.random.key(0), mu_init=mu)
+    ev = make_eval_step(model, tc)
+    x = jnp.asarray(rng.randint(0, 256, (batch_size, 64, 64, 3)), jnp.uint8)
+    y = jnp.asarray((rng.rand(batch_size, 18) > 0.5).astype(np.float32))
+    key = jax.random.key(1)
+    acc = ev(state.params, x, y, key, 0.3)
+    float(jax.device_get(acc))
+    t0 = time.perf_counter()
+    total = acc * 0.0
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        total = total + ev(state.params, x, y, sub, 0.3)
+    float(jax.device_get(total))  # fence: depends on every iteration
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def bench_traversal(n_steps: int = 8, iters: int = 20):
     import jax
     import jax.numpy as jnp
@@ -143,6 +175,8 @@ def main():
                                           scan=args.scan,
                                           image_size=args.image_size)
     traversal_ms = (None if args.skip_traversal else bench_traversal())
+    eval_ips = (None if args.skip_traversal
+                else bench_eval(args.batch_size))
 
     baseline = 700.0  # reference images/sec (BASELINE.md, derived)
     result = {
@@ -156,6 +190,8 @@ def main():
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),
         'peak_hbm_mb': peak_mb(),
+        'eval_images_per_sec': (None if eval_ips is None
+                                else round(eval_ips, 1)),
     }
     print(json.dumps(result))
 
