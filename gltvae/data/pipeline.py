@@ -58,32 +58,66 @@ class BatchLoader:
         self.n_s = len(dataset)
         self.shuffle = shuffle
         self.reshuffle_each_epoch = reshuffle_each_epoch
-        self._rng = np.random.RandomState(seed)
-        self._idxs = np.arange(self.n_s)
+        self._seed = seed
+        rng = np.random.RandomState(seed)
+        idxs = np.arange(self.n_s)
         if shuffle:
-            self._rng.shuffle(self._idxs)
-        self._start = 0
+            rng.shuffle(idxs)
+        self._cur = BatchLoader._Cursor(idxs, 0, rng)
         self.num_workers = num_workers
         self.prefetch = prefetch
+
+    # compatibility views onto the authoritative cursor
+    @property
+    def _start(self):
+        return self._cur.start
+
+    @property
+    def _idxs(self):
+        return self._cur.idxs
+
+    @property
+    def _rng(self):
+        return self._cur.rng
 
     @property
     def epoch_batches(self) -> int:
         return int(np.ceil(self.n_s / self.bs))
 
-    def _next_batch_idxs(self) -> np.ndarray:
-        """Reference-exact wrap-around slice (utils_data.py:65-72)."""
-        s, bs, n = self._start, self.bs, self.n_s
+    class _Cursor:
+        """Index-stream state: (permutation, offset, rng). The loader owns
+        the authoritative cursor; a threaded iterator additionally runs a
+        SPECULATIVE clone ahead of consumption (generation is deterministic,
+        so clone and authoritative streams are identical)."""
+
+        __slots__ = ('idxs', 'start', 'rng')
+
+        def __init__(self, idxs, start, rng):
+            self.idxs, self.start, self.rng = idxs, start, rng
+
+        def clone(self) -> 'BatchLoader._Cursor':
+            rng = np.random.RandomState()
+            rng.set_state(self.rng.get_state())
+            return BatchLoader._Cursor(self.idxs.copy(), self.start, rng)
+
+    def _advance(self, cur: '_Cursor') -> np.ndarray:
+        """Reference-exact wrap-around slice (utils_data.py:65-72),
+        mutating the given cursor."""
+        s, bs, n = cur.start, self.bs, self.n_s
         if s + bs < n:
             # copy, not view: the epoch-boundary reshuffle below is
             # in-place, and prefetched batches must not see it
-            out = self._idxs[s:s + bs].copy()
-            self._start = s + bs
+            out = cur.idxs[s:s + bs].copy()
+            cur.start = s + bs
         else:
-            out = np.concatenate([self._idxs[s:], self._idxs[:bs - (n - s)]])
-            self._start = (s + bs) % n
+            out = np.concatenate([cur.idxs[s:], cur.idxs[:bs - (n - s)]])
+            cur.start = (s + bs) % n
             if self.reshuffle_each_epoch and self.shuffle:
-                self._rng.shuffle(self._idxs)
+                cur.rng.shuffle(cur.idxs)
         return out
+
+    def _next_batch_idxs(self) -> np.ndarray:
+        return self._advance(self._cur)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if self.num_workers > 0:
@@ -95,21 +129,41 @@ class BatchLoader:
             yield self.dataset.fetch(self._next_batch_idxs())
 
     def _threaded_iter(self):
-        """Bounded-queue pipeline: index generation stays ordered on one
-        feeder thread; fetch/decode fans out to workers; batches are
-        re-ordered by sequence number so training sees a deterministic
-        stream regardless of decode-latency jitter."""
+        """Bounded pipeline: index generation stays ordered on one feeder
+        thread working a SPECULATIVE cursor clone; fetch/decode fans out to
+        workers; batches are re-ordered by sequence number so training sees
+        a deterministic stream regardless of decode-latency jitter.
+
+        Two invariants the naive version got wrong:
+        - backpressure at the SOURCE: the feeder stalls once
+          produced − consumed ≥ cap, so the completed-batch buffer is
+          bounded (not just the pending-index queue);
+        - the loader's authoritative cursor advances only on CONSUMED
+          batches (replayed at yield time — generation is deterministic, so
+          speculative ≡ authoritative). Abandoning an iterator mid-stream
+          (fresh iter() every epoch) therefore skips nothing: the next
+          iterator resumes exactly after the last batch training saw.
+        """
+        spec = self._cur.clone()
+        cap = self.prefetch * 2 + self.num_workers
         idx_q: queue.Queue = queue.Queue(maxsize=self.prefetch * 2)
         out: dict = {}
-        out_lock = threading.Condition()
+        cv = threading.Condition()
+        counters = {'consumed': 0}
         stop = threading.Event()
 
         def feeder():
             seq = 0
             item = None
             while not stop.is_set():
+                with cv:
+                    while (seq - counters['consumed'] >= cap
+                           and not stop.is_set()):
+                        cv.wait(timeout=0.1)
+                if stop.is_set():
+                    return
                 if item is None:  # generate once; retry the same item on Full
-                    item = (seq, self._next_batch_idxs())
+                    item = (seq, self._advance(spec))
                     seq += 1
                 try:
                     idx_q.put(item, timeout=0.1)
@@ -124,9 +178,9 @@ class BatchLoader:
                 except queue.Empty:
                     continue
                 batch = self.dataset.fetch(idxs)
-                with out_lock:
+                with cv:
                     out[seq] = batch
-                    out_lock.notify_all()
+                    cv.notify_all()
 
         threads = [threading.Thread(target=feeder, daemon=True)]
         threads += [threading.Thread(target=worker, daemon=True)
@@ -136,14 +190,24 @@ class BatchLoader:
         try:
             seq = 0
             while True:
-                with out_lock:
+                with cv:
                     while seq not in out:
-                        out_lock.wait(timeout=1.0)
+                        cv.wait(timeout=1.0)
                     batch = out.pop(seq)
+                    counters['consumed'] = seq + 1
+                    cv.notify_all()
+                # commit: advance the authoritative cursor past this batch
+                self._advance(self._cur)
                 seq += 1
                 yield batch
         finally:
             stop.set()
 
     def reset(self):
-        self._start = 0
+        """Restore the exact post-init state (seeded permutation + cursor)
+        so a reset loader replays the identical batch stream."""
+        rng = np.random.RandomState(self._seed)
+        idxs = np.arange(self.n_s)
+        if self.shuffle:
+            rng.shuffle(idxs)
+        self._cur = BatchLoader._Cursor(idxs, 0, rng)

@@ -20,17 +20,20 @@ import numpy as np
 
 
 def cooccurrence_gating_matrix(labels: np.ndarray) -> np.ndarray:
-    """μ[i,j] = (# samples where labels i and j are both 1) / N, i≠j; μ[i,i]=1.
+    """μ[i,j] = (# samples where labels i and j are both 1) / N⁺, i≠j;
+    μ[i,i]=1, with N⁺ = # samples having ≥1 positive label.
 
-    `labels` is an (N, y_dim) 0/1 array. Matches utils.py:132-149 exactly
-    (their "absolute frequencies" variant: normalize by the number of
-    samples, not row sums).
+    `labels` is an (N, y_dim) 0/1 array. Matches utils.py:132-149 exactly:
+    the reference groups each sample's positive-label indices via
+    np.nonzero, so all-zero rows vanish from the grouping and
+    `n_elems = len(grouped_indices)` counts only samples with at least one
+    positive label ("absolute frequencies" over observed groups).
     """
     labels = np.asarray(labels, dtype=np.float64)
-    n = labels.shape[0]
+    n_pos = int((labels.sum(axis=1) > 0).sum())
     counts = labels.T @ labels
     np.fill_diagonal(counts, 0.0)
-    mu = counts / float(n)
+    mu = counts / float(max(n_pos, 1))
     np.fill_diagonal(mu, 1.0)
     return mu
 

@@ -68,10 +68,11 @@ def sample_gating(key, mu, temperature, eps=1e-20):
 
 
 def sample_gating_deterministic(mu, temperature=None):
-    """Noise-free gate relaxation: the T→0 limit of the BinConcrete with
-    g₁=g₂ is a hard threshold at μ=0.5; we return clip(μ,0,1) as the
-    expected-gate variant used by the deterministic eval mode (a framework
-    extension — the reference's eval is always stochastic,
-    gated_ccvae.py:421-446)."""
+    """Noise-free gate: the EXPECTED gate clip(μ,0,1) — not a hard
+    threshold. (Thresholding at 0.5 would be the T→0 limit with g₁=g₂;
+    using the expectation keeps gradients alive and matches how μ weights
+    the classifier in expectation.) Used by the deterministic eval mode, a
+    framework extension — the reference's eval is always stochastic
+    (gated_ccvae.py:421-446)."""
     del temperature
     return jnp.clip(mu, 0.0, 1.0)

@@ -122,6 +122,7 @@ class Trainer:
               resume: bool = False) -> Dict:
         cfg = self.cfg
         epochs = cfg.n_epochs if epochs is None else epochs
+        best_metric = -np.inf   # val accuracy (sup) or val ELBO (unsup)
         best_val_acc = -np.inf
         history = []
         start_epoch = 0
@@ -161,6 +162,11 @@ class Trainer:
                 is_sup = (period > 0 and i % period == 0
                           and ctr_sup < sup_batches)
                 n = min(self.steps_per_dispatch, total - i) if can_scan else 1
+                if is_sup:
+                    # period==1 admits semi-sup schedules (sup_frac > 0.5);
+                    # a chunk is classified once, so cap it at the remaining
+                    # supervised quota to keep the reference schedule exact
+                    n = min(n, sup_batches - ctr_sup)
                 it = sup_iter if is_sup else unsup_iter
                 if n > 1:
                     bx, by = zip(*(next(it) for _ in range(n)))
@@ -193,32 +199,53 @@ class Trainer:
                                      epoch=epoch, supervised=int(is_sup))
 
             # ----------------------- validation -----------------------
+            # Best-checkpoint criterion: validation accuracy (reference
+            # gated_ccvae.py:384-401). Unsupervised runs (sup=0.0) have no
+            # accuracy — fall back to validation ELBO so they still get a
+            # genuine 'best' slot (the reference's sup=0.0 path never saves
+            # one at all).
             if cfg.perc_supervision and 'valid' in loaders:
                 val_acc = self.evaluate(loaders['valid'])
-            else:
+                val_metric = val_acc
+            elif 'valid' in loaders:
                 val_acc = -np.inf
+                val_metric = self.test_elbo(loaders['valid'])
+            else:
+                val_acc = val_metric = -np.inf
             epoch_time = time.perf_counter() - t_epoch
             logger.info('[Epoch %03d] Val Acc %.3f (%.1fs, %.0f img/s)',
                         epoch, val_acc, epoch_time,
                         self.throughput.images_per_sec)
             history.append({'epoch': epoch, 'val_accuracy': val_acc,
+                            'val_metric': val_metric,
                             'epoch_time': epoch_time})
 
-            if val_acc > best_val_acc:
+            if val_metric > best_metric:
+                best_metric = val_metric
                 best_val_acc = val_acc
-                self._save(param_dir, 'best', {'val_accuracy': val_acc})
+                self._save(param_dir, 'best', {'val_accuracy': val_metric})
 
             # gating temperature decay (learnable only; gated_ccvae.py:403-406)
             if self.model.cfg.gate_type == 'learnable':
                 self.gating_temp *= cfg.gating_temp_decay
 
-        self._save(param_dir, 'last', {'val_accuracy': best_val_acc})
+        # 'last' carries the FINAL epoch's metric (not the best one), so
+        # Orbax best_step() keeps pointing at the genuinely best state and
+        # the reference's load_model('best') test protocol is honored.
+        last_metric = history[-1]['val_metric'] if history else -np.inf
+        self._save(param_dir, 'last', {'val_accuracy': last_metric})
         self.metrics.flush()
-        return {'best_val_accuracy': best_val_acc, 'history': history,
+        return {'best_val_accuracy': best_val_acc,
+                'best_val_metric': best_metric, 'history': history,
                 'images_per_sec': self.throughput.images_per_sec}
 
     def _save(self, param_dir: Optional[str], model_id: str, metrics: dict):
-        if self.ckpt is not None:
+        metrics = {k: v for k, v in metrics.items() if np.isfinite(v)}
+        if self.ckpt is not None and \
+                self.ckpt.latest_step() != int(self.state.step):
+            # (equal steps: 'best' was just written for this same state —
+            # a second Orbax save would raise StepAlreadyExistsError; the
+            # μ artifacts below are still exported under the new model_id)
             self.ckpt.save(self.state, metrics=metrics)
         if param_dir and self.model.cfg.gate_type == 'learnable':
             names = (CELEBA_EASY_LABELS

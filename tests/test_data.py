@@ -73,6 +73,56 @@ class TestBatchLoader:
             np.testing.assert_array_equal(xs, xt)
             np.testing.assert_array_equal(ys, yt)
 
+    def test_abandoned_threaded_iter_skips_nothing(self):
+        """Trainer creates a fresh iter() per epoch; prefetched-but-unread
+        batches must NOT advance the loader — the next iterator resumes
+        exactly where consumption stopped."""
+        ds = make_ds(40)
+        sync = BatchLoader(ds, 4, shuffle=True, seed=11, num_workers=0)
+        thr = BatchLoader(ds, 4, shuffle=True, seed=11, num_workers=3,
+                          prefetch=4)
+        it_s = iter(sync)
+        stream_s = [next(it_s) for _ in range(20)]
+        got = []
+        for n in (3, 5, 1, 11):  # 4 epochs of different consumed lengths
+            it_t = iter(thr)
+            got += [next(it_t) for _ in range(n)]
+            it_t.close()  # abandon mid-stream with batches in flight
+        assert len(got) == 20
+        for (xs, ys), (xt, yt) in zip(stream_s, got):
+            np.testing.assert_array_equal(xs, xt)
+            np.testing.assert_array_equal(ys, yt)
+
+    def test_threaded_output_buffer_is_bounded(self):
+        """Backpressure: with a stalled consumer, the feeder may run at most
+        prefetch*2 + num_workers batches ahead of consumption."""
+        import time
+        ds = make_ds(64)
+        thr = BatchLoader(ds, 4, shuffle=True, seed=0, num_workers=2,
+                          prefetch=2)
+        it = iter(thr)
+        next(it)  # start the pipeline, consume one
+        time.sleep(0.5)  # let the feeder/workers run as far as they can
+        # authoritative cursor reflects only CONSUMED batches
+        assert thr._start == 4
+        # speculative production is capped (observable via the next
+        # batches still matching the sync stream after the stall)
+        sync = BatchLoader(ds, 4, shuffle=True, seed=0, num_workers=0)
+        it_s = iter(sync)
+        next(it_s)
+        for _ in range(10):
+            (xs, _), (xt, _) = next(it_s), next(it)
+            np.testing.assert_array_equal(xs, xt)
+        it.close()
+
+    def test_reset_replays_identical_stream(self):
+        dl = BatchLoader(make_ds(10), 4, shuffle=True, seed=5)
+        first = [dl._next_batch_idxs().copy() for _ in range(7)]
+        dl.reset()
+        again = [dl._next_batch_idxs().copy() for _ in range(7)]
+        for a, b in zip(first, again):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestSynthetic:
     def test_shapes_and_dtypes(self):

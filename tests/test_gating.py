@@ -36,9 +36,6 @@ def labels_to_groups(labels):
 
 def test_matches_reference_triple_loop(rng):
     labels = (rng.rand(500, 18) > 0.7).astype(np.int64)
-    # ensure no all-zero rows vanish from the grouping (the reference's
-    # grouping drops them from n_elems — replicate by filtering)
-    labels = labels[labels.sum(1) > 0]
     want = reference_create_gating_matrix(labels_to_groups(labels),
                                           n_labels=18)
     got = cooccurrence_gating_matrix(labels)
@@ -46,13 +43,13 @@ def test_matches_reference_triple_loop(rng):
 
 
 def test_all_zero_rows_counted_consistently(rng):
-    # NOTE (intentional divergence-check): the reference normalizes by the
-    # number of GROUPS (rows with >=1 positive label), because all-zero rows
-    # produce no group. Our vectorized version normalizes by N rows. For
-    # CelebA every image has >=1 easy label so the two agree; this test
-    # documents the boundary condition explicitly.
+    # The reference normalizes by the number of GROUPS (rows with >=1
+    # positive label): all-zero rows produce no nonzero group, so they
+    # vanish from n_elems. The vectorized version must agree even when the
+    # label set contains all-zero rows (e.g. non-CelebA attribute subsets).
     labels = (rng.rand(300, 6) > 0.5).astype(np.int64)
-    labels = labels[labels.sum(1) > 0]
+    labels[::17] = 0  # guarantee all-zero rows
+    assert (labels.sum(1) == 0).any()
     want = reference_create_gating_matrix(labels_to_groups(labels), 6)
     np.testing.assert_allclose(cooccurrence_gating_matrix(labels), want)
 

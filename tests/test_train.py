@@ -193,6 +193,72 @@ def test_trainer_end_to_end_tiny(tmp_path):
     assert os.path.exists(tmp_path / 'metrics.csv')
 
 
+def test_single_epoch_run_completes(tmp_path):
+    """n_epochs=1: 'best' and 'last' land on the SAME step — the run must
+    finish cleanly (no Orbax StepAlreadyExistsError) and still export the
+    'last' μ artifact."""
+    splits = synthetic_splits(n_train=16, n_valid=8, n_test=8,
+                              sup_frac=1.0, image_size=16, y_dim=4)
+    loaders = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    trainer = Trainer(MODEL,
+                      TrainConfig(batch_size=8, perc_supervision=1.0,
+                                  classifier_mc_samples=2, n_epochs=1),
+                      mu_init=mu_init(),
+                      checkpoint_dir=str(tmp_path / 'ckpt'),
+                      metrics_path=str(tmp_path / 'metrics.csv'))
+    result = trainer.train(loaders, param_dir=str(tmp_path / 'params'))
+    assert len(result['history']) == 1
+    import os
+    assert os.path.exists(tmp_path / 'params' /
+                          'learned_gating_matrix_last.npy')
+    assert os.path.exists(tmp_path / 'metrics.csv')  # flush ran
+
+
+def test_best_step_survives_last_save(tmp_path):
+    """The 'last' checkpoint must carry its OWN metric, not the best one:
+    Orbax best_step() has to keep pointing at the genuinely best state
+    (reference protocol: load_model('best'), gated_ccvae.py:531-533)."""
+    model = CCVAE(MODEL)
+    cfg = TrainConfig(batch_size=8, classifier_mc_samples=2)
+    state = create_train_state(model, cfg, jax.random.key(0),
+                               mu_init=mu_init())
+    sup, _ = make_train_steps(model, cfg, donate=False)
+    x, y = batch()
+    from gltvae.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+    s1, _ = sup(state, x, y, 1.0)
+    mgr.save(s1, metrics={'val_accuracy': 0.9}, wait=True)   # the best
+    s2, _ = sup(s1, x, y, 1.0)
+    mgr.save(s2, metrics={'val_accuracy': 0.3}, wait=True)   # the last
+    assert mgr.best_step() == int(s1.step)
+    assert mgr.latest_step() == int(s2.step)
+    mgr.close()
+
+
+def test_unsupervised_run_saves_best_on_elbo(tmp_path):
+    """sup=0.0 has no val accuracy; the best slot falls back to validation
+    ELBO so an unsupervised run still checkpoints its best state (the
+    reference's sup=0.0 path exists via the uniform-gating fallback,
+    utils_data.py:155-157, but never best-saves)."""
+    splits = synthetic_splits(n_train=32, n_valid=8, n_test=8,
+                              sup_frac=0.0, image_size=16, y_dim=4)
+    loaders = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    from gltvae.ops.gating import uniform_gating_matrix
+    trainer = Trainer(MODEL,
+                      TrainConfig(batch_size=8, perc_supervision=0.0,
+                                  classifier_mc_samples=2, n_epochs=2),
+                      mu_init=uniform_gating_matrix(4),
+                      checkpoint_dir=str(tmp_path / 'ckpt'))
+    result = trainer.train(loaders, param_dir=str(tmp_path / 'params'))
+    assert len(result['history']) == 2
+    assert all(np.isfinite(h['val_metric']) for h in result['history'])
+    assert trainer.ckpt.best_step() is not None  # a best slot exists
+    # the restore-best → test path works end to end
+    trainer.restore()
+    acc = trainer.test(loaders['test'])
+    assert 0.0 <= acc <= 1.0
+
+
 def test_checkpoint_resume_bit_exact(tmp_path):
     model = CCVAE(MODEL)
     cfg = TrainConfig(batch_size=8, classifier_mc_samples=2)
