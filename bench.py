@@ -86,19 +86,43 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
         state, loss = step(state)
     final_loss = float(jax.device_get(loss))  # fence: data-dependent fetch
     dt = time.perf_counter() - t0
-    return batch_size * steps * per_call / dt, final_loss
+
+    # compiled-program HBM footprint (estimate; used when the backend has
+    # no runtime memory_stats — e.g. the axon tunnel)
+    if scan > 1:
+        hbm = _hbm_estimate(step_fn, state, xs, ys, 1.0)
+    else:
+        hbm = _hbm_estimate(fn, state, x, y, 1.0)
+    return batch_size * steps * per_call / dt, final_loss, hbm
 
 
-def bench_eval(batch_size: int, iters: int = 30):
-    """Stochastic eval throughput (reference baseline: ~400-450 img/s,
-    BASELINE.md eval rows). Chained keys keep iterations ordered; fenced
-    by a host fetch."""
+def _hbm_estimate(jitted, *args):
+    """XLA memory_analysis of the compiled step: temp + args + output MiB
+    (an upper-bound style static estimate, not a runtime peak)."""
+    try:
+        ma = jitted.lower(*args).compile().memory_analysis()
+        if ma is None:
+            return None
+        total = (getattr(ma, 'temp_size_in_bytes', 0)
+                 + getattr(ma, 'argument_size_in_bytes', 0)
+                 + getattr(ma, 'output_size_in_bytes', 0))
+        return round(total / 2 ** 20, 1) if total else None
+    except Exception:
+        return None
+
+
+def bench_eval(batch_size: int, iters: int = 10, scan: int = 32):
+    """Stochastic eval throughput via the scanned eval path — the same
+    make_scan_eval_step Trainer.evaluate dispatches (reference baseline:
+    ~400-450 img/s, BASELINE.md eval rows). Round 1 measured the
+    per-dispatch path at ~9.5k img/s, tunnel-RPC bound; scanning batches
+    amortizes the host round-trip. Fenced by a host fetch."""
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig
     from gltvae.models.ccvae import CCVAE
     from gltvae.train.state import create_train_state
-    from gltvae.train.steps import make_eval_step
+    from gltvae.train.steps import make_scan_eval_step
 
     cfg = ModelConfig(compute_dtype='bfloat16')
     tc = TrainConfig(batch_size=batch_size)
@@ -106,19 +130,22 @@ def bench_eval(batch_size: int, iters: int = 30):
     rng = np.random.RandomState(0)
     mu = rng.rand(18, 18).astype(np.float32)
     state = create_train_state(model, tc, jax.random.key(0), mu_init=mu)
-    ev = make_eval_step(model, tc)
-    x = jnp.asarray(rng.randint(0, 256, (batch_size, 64, 64, 3)), jnp.uint8)
-    y = jnp.asarray((rng.rand(batch_size, 18) > 0.5).astype(np.float32))
+    ev = make_scan_eval_step(model, tc)
+    # distinct per-slot batches so nothing is hoistable out of the scan
+    xs = jnp.asarray(rng.randint(0, 256, (scan, batch_size, 64, 64, 3)),
+                     jnp.uint8)
+    ys = jnp.asarray((rng.rand(scan, batch_size, 18) > 0.5)
+                     .astype(np.float32))
     key = jax.random.key(1)
-    acc = ev(state.params, x, y, key, 0.3)
-    float(jax.device_get(acc))
+    accs = ev(state.params, xs, ys, jax.random.split(key, scan), 0.3)
+    float(jax.device_get(accs.sum()))  # compile + completion fence
     t0 = time.perf_counter()
-    total = acc * 0.0
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        total = total + ev(state.params, x, y, sub, 0.3)
+    total = accs.sum() * 0.0
+    for i in range(iters):
+        keys = jax.random.split(jax.random.fold_in(key, i), scan)
+        total = total + ev(state.params, xs, ys, keys, 0.3).sum()
     float(jax.device_get(total))  # fence: depends on every iteration
-    return batch_size * iters / (time.perf_counter() - t0)
+    return batch_size * scan * iters / (time.perf_counter() - t0)
 
 
 def bench_traversal(n_steps: int = 8, iters: int = 20):
@@ -170,10 +197,9 @@ def main():
         except Exception:
             return None
 
-    imgs_per_sec, loss = bench_train_step(args.batch_size, args.steps,
-                                          args.warmup, args.dtype,
-                                          scan=args.scan,
-                                          image_size=args.image_size)
+    imgs_per_sec, loss, hbm_est = bench_train_step(
+        args.batch_size, args.steps, args.warmup, args.dtype,
+        scan=args.scan, image_size=args.image_size)
     traversal_ms = (None if args.skip_traversal else bench_traversal())
     eval_ips = (None if args.skip_traversal
                 else bench_eval(args.batch_size))
@@ -189,7 +215,9 @@ def main():
         'final_loss': round(loss, 2),
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),
-        'peak_hbm_mb': peak_mb(),
+        'peak_hbm_mb': peak_mb() if peak_mb() is not None else hbm_est,
+        'peak_hbm_source': ('memory_stats' if peak_mb() is not None
+                            else 'compiled_memory_analysis_estimate'),
         'eval_images_per_sec': (None if eval_ips is None
                                 else round(eval_ips, 1)),
     }

@@ -152,6 +152,13 @@ class DataConfig:
     num_workers: int = 8
     # Ship uint8 to device and normalize there (Pallas) instead of host f32.
     device_preprocess: bool = True
+    # Ship full-resolution uint8 (178x218 CelebA) and bilinear-resize on
+    # device inside the train/eval jit (MXU matmuls) instead of host
+    # cv2/PIL resize. Costs ~10x PCIe bytes at 64px — benched honestly in
+    # tools/bench_data.py / docs/BENCH_NOTES.md; host resize stays the
+    # default. (BASELINE.json north star: decode+crop+resize+normalize
+    # fused on device.)
+    device_resize: bool = False
 
 
 def default_celeba64(gate_type: str = 'learnable',

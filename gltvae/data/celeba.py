@@ -88,11 +88,16 @@ class ImageFolderDataset:
     """
 
     def __init__(self, image_dir: str, split: _SplitData, image_size: int,
-                 center_crop: bool = False, backend: str = 'auto'):
+                 center_crop: bool = False, backend: str = 'auto',
+                 host_resize: bool = True):
         self.image_dir = image_dir
         self.split = split
         self.image_size = image_size
         self.center_crop = center_crop
+        # host_resize=False ships decoded full-resolution uint8; the
+        # resize then runs on device inside the train jit
+        # (DataConfig.device_resize -> gltvae.ops.resize bilinear GEMMs)
+        self.host_resize = host_resize
         if backend == 'auto':
             try:
                 import cv2  # noqa: F401
@@ -112,11 +117,15 @@ class ImageFolderDataset:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             if self.center_crop:
                 img = _center_crop(img)
+            if not self.host_resize:
+                return np.asarray(img, dtype=np.uint8)
             return cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
         import PIL.Image
         img = PIL.Image.open(path)
         if self.center_crop:
             img = PIL.Image.fromarray(_center_crop(np.asarray(img)))
+        if not self.host_resize:
+            return np.asarray(img, dtype=np.uint8)
         # reference: np.array -> fromarray -> resize (utils_data.py:55-58),
         # PIL default BILINEAR? No: PIL .resize default is NEAREST before
         # Pillow 10, BICUBIC after; the reference used the default. We use
@@ -196,7 +205,8 @@ class CelebAReader:
         loaders = {}
         for mode in modes:
             ds = ImageFolderDataset(image_dir, self.splits[mode],
-                                    self.cfg.image_size)
+                                    self.cfg.image_size,
+                                    host_resize=not self.cfg.device_resize)
             loaders[mode] = BatchLoader(
                 ds, self.batch_size, shuffle=True,
                 reshuffle_each_epoch=self.reshuffle, seed=self.seed,

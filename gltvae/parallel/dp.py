@@ -22,20 +22,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gltvae.config import TrainConfig
 from gltvae.models.ccvae import CCVAE
-from gltvae.parallel.mesh import batch_sharding, replicated_sharding
+from gltvae.parallel.mesh import (batch_sharding, replicated_sharding,
+                                  stacked_batch_sharding)
 from gltvae.train.state import TrainState
 from gltvae.train import steps as _steps
 
 
+def _multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one process (DCN
+    multi-host): device_put cannot address remote shards, so arrays must
+    be assembled from per-process local data."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Replicate the train state onto every chip of the mesh."""
+    """Replicate the train state onto every chip of the mesh. On a
+    multi-host mesh every process passes the same full values (they are —
+    same seed, same init) and jax assembles the global replicated array."""
     repl = replicated_sharding(mesh)
+    if _multiprocess(mesh):
+        import numpy as np
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                repl, np.asarray(a)), state)
     return jax.device_put(state, repl)
+
+
+def _place(batch, sharding, mesh: Mesh, batch_axis: int):
+    if not _multiprocess(mesh):
+        return jax.device_put(batch, sharding)
+    # Multi-host: every process passes the IDENTICAL global batch (all
+    # processes run the same seeded loader); each keeps the slice its
+    # devices own and jax assembles the global array. Batch order within
+    # the global array follows mesh device order — irrelevant for DP
+    # semantics (the loss mean is permutation-invariant).
+    import numpy as np
+    pc, pid = jax.process_count(), jax.process_index()
+
+    def one(a):
+        a = np.asarray(a)
+        ls = a.shape[batch_axis] // pc
+        idx = [slice(None)] * a.ndim
+        idx[batch_axis] = slice(pid * ls, (pid + 1) * ls)
+        return jax.make_array_from_process_local_data(sharding, a[tuple(idx)])
+
+    return jax.tree.map(one, batch)
 
 
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, split along the leading dim."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    return _place(batch, batch_sharding(mesh), mesh, batch_axis=0)
+
+
+def shard_stacked_batch(batch, mesh: Mesh):
+    """Place stacked [n_inner, B, ...] scan batches onto the mesh: the
+    scan axis stays whole, B splits across 'data' (matches the
+    in_shardings of the scan step functions — placing with plain
+    shard_batch would trigger an on-device reshard at dispatch)."""
+    return _place(batch, stacked_batch_sharding(mesh), mesh, batch_axis=1)
 
 
 def make_parallel_train_steps(model: CCVAE, train_cfg: TrainConfig,
@@ -83,5 +127,16 @@ def make_parallel_eval_step(model: CCVAE, train_cfg: TrainConfig,
     ev = _steps.make_eval_step(model, train_cfg, jit=False)
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    return jax.jit(ev, in_shardings=(repl, bsh, bsh, repl, repl),
+                   out_shardings=repl)
+
+
+def make_parallel_scan_eval_step(model: CCVAE, train_cfg: TrainConfig,
+                                 mesh: Mesh) -> Callable:
+    """Scan-eval on the mesh: stacked batches sharded P(None, 'data'),
+    stacked keys replicated, per-batch accuracies replicated back."""
+    ev = _steps.make_scan_eval_step(model, train_cfg, jit=False)
+    repl = replicated_sharding(mesh)
+    bsh = stacked_batch_sharding(mesh)
     return jax.jit(ev, in_shardings=(repl, bsh, bsh, repl, repl),
                    out_shardings=repl)

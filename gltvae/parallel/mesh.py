@@ -37,6 +37,13 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh,
+                           axis_name: str = DATA_AXIS) -> NamedSharding:
+    """For [n_inner, B, ...] scan-stacked batches: keep the scan axis
+    whole, shard the batch axis across the mesh."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     """Fully replicated (params / opt state / scalars)."""
     return NamedSharding(mesh, P())

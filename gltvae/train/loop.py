@@ -26,6 +26,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gltvae.config import (CELEBA_EASY_LABELS, CELEBA_LABELS, ModelConfig,
@@ -64,12 +65,14 @@ class Trainer:
         key = jax.random.key(train_cfg.seed)
         self.state = create_train_state(self.model, train_cfg, key,
                                         mu_init=mu_init)
-        self._scan_sup = self._scan_unsup = None
+        self._scan_sup = self._scan_unsup = self._scan_eval = None
         if mesh is not None:
             from gltvae.parallel.dp import (make_parallel_train_steps,
                                             make_parallel_scan_train_steps,
                                             make_parallel_eval_step,
-                                            shard_state, shard_batch)
+                                            make_parallel_scan_eval_step,
+                                            shard_state, shard_batch,
+                                            shard_stacked_batch)
             self.state = shard_state(self.state, mesh)
             self._sup_step, self._unsup_step = make_parallel_train_steps(
                 self.model, train_cfg, mesh)
@@ -77,18 +80,24 @@ class Trainer:
                 self._scan_sup, self._scan_unsup = \
                     make_parallel_scan_train_steps(self.model, train_cfg,
                                                    mesh)
+                self._scan_eval = make_parallel_scan_eval_step(
+                    self.model, train_cfg, mesh)
             self._eval_step = make_parallel_eval_step(self.model, train_cfg,
                                                       mesh)
             self._place = lambda b: shard_batch(b, mesh)
+            self._place_stacked = lambda b: shard_stacked_batch(b, mesh)
         else:
-            from gltvae.train.steps import make_scan_train_steps
+            from gltvae.train.steps import (make_scan_train_steps,
+                                            make_scan_eval_step)
             self._sup_step, self._unsup_step = make_train_steps(
                 self.model, train_cfg)
             if self.steps_per_dispatch > 1:
                 self._scan_sup, self._scan_unsup = make_scan_train_steps(
                     self.model, train_cfg)
+                self._scan_eval = make_scan_eval_step(self.model, train_cfg)
             self._eval_step = make_eval_step(self.model, train_cfg)
             self._place = lambda b: b
+            self._place_stacked = lambda b: b
 
         self.gating_temp = train_cfg.gating_temp_for(model_cfg)
         self.ckpt = (CheckpointManager(checkpoint_dir)
@@ -170,7 +179,8 @@ class Trainer:
                 it = sup_iter if is_sup else unsup_iter
                 if n > 1:
                     bx, by = zip(*(next(it) for _ in range(n)))
-                    xs, ys = self._place((np.stack(bx), np.stack(by)))
+                    xs, ys = self._place_stacked((np.stack(bx),
+                                                  np.stack(by)))
                     step_fn = self._scan_sup if is_sup else self._scan_unsup
                     self.state, ms = step_fn(self.state, xs, ys,
                                              self.gating_temp)
@@ -256,16 +266,36 @@ class Trainer:
 
     # ------------------------------- eval -------------------------------
     def evaluate(self, loader, gating_temp: Optional[float] = None) -> float:
-        """Mean accuracy over ceil(n/bs) batches (gated_ccvae.py:448-455)."""
+        """Mean accuracy over ceil(n/bs) batches (gated_ccvae.py:448-455).
+
+        With steps_per_dispatch>1 batches are chunked through the scan-eval
+        step (one dispatch per chunk); the key sequence and the resulting
+        per-batch accuracies are identical to the per-batch path."""
         temp = self.gating_temp if gating_temp is None else gating_temp
         n_batches = loader.epoch_batches
         it = iter(loader)
         accs = []
-        for i in range(n_batches):
-            x, y = self._place(next(it))
-            self._eval_key, sub = jax.random.split(self._eval_key)
-            accs.append(self._eval_step(self.state.params, x, y, sub, temp))
-        return float(np.mean(jax.device_get(accs)))
+        chunk = self.steps_per_dispatch if self._scan_eval is not None else 1
+        i = 0
+        while i < n_batches:
+            n = min(chunk, n_batches - i)
+            if n > 1:
+                bx, by = zip(*(next(it) for _ in range(n)))
+                subs = []
+                for _ in range(n):
+                    self._eval_key, sub = jax.random.split(self._eval_key)
+                    subs.append(sub)
+                xs, ys = self._place_stacked((np.stack(bx), np.stack(by)))
+                accs.append(self._scan_eval(self.state.params, xs, ys,
+                                            jnp.stack(subs), temp))
+            else:
+                x, y = self._place(next(it))
+                self._eval_key, sub = jax.random.split(self._eval_key)
+                accs.append(self._eval_step(self.state.params, x, y, sub,
+                                            temp))
+            i += n
+        accs = [np.atleast_1d(a) for a in jax.device_get(accs)]
+        return float(np.mean(np.concatenate(accs)))
 
     def test(self, loader) -> float:
         """Test protocol: gating temp forced to eval temperature

@@ -40,11 +40,45 @@ class TrainState(struct.PyTreeNode):
                                   self.step)
 
 
+def keras_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam with tf.keras update semantics, exactly.
+
+    Keras applies epsilon to the UNCORRECTED second moment
+    (var -= lr·√(1-β₂ᵗ)/(1-β₁ᵗ) · m/(√v + ε)), while optax.adam applies it
+    to the bias-corrected one (m̂/(√v̂ + ε)). The two differ by a factor
+    1/√(1-β₂ᵗ) on ε — up to ~30× in early steps — which is exactly the
+    kind of drift the twin-trajectory golden (tests/test_twin_trajectory)
+    would flag. The reference trains with tf.keras.optimizers.Adam
+    (gated_ccvae.py:144), so we match it bit-for-bit.
+    """
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                          state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g,
+                          state.nu, grads)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        alpha = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        updates = jax.tree.map(
+            lambda m, v: -alpha * m / (jnp.sqrt(v) + eps), mu, nu)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(model_cfg: ModelConfig, train_cfg: TrainConfig):
-    """Adam with Keras-compatible hyperparameters (lr constant — the
-    reference configures `anneal_rate` but never applies it, a quirk we
-    preserve by default; gated_ccvae.py:144, SURVEY.md §2 quirks)."""
-    adam = optax.adam(train_cfg.lr, b1=0.9, b2=0.999, eps=train_cfg.adam_eps)
+    """Keras-semantics Adam (lr constant — the reference configures
+    `anneal_rate` but never applies it, a quirk we preserve by default;
+    gated_ccvae.py:144, SURVEY.md §2 quirks)."""
+    adam = keras_adam(train_cfg.lr, b1=0.9, b2=0.999, eps=train_cfg.adam_eps)
     if model_cfg.mu_trainable:
         return adam
     # Fixed gating: μ gets zero updates; everything else trains.

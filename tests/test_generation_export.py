@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gltvae.config import ModelConfig
 from gltvae.models.ccvae import CCVAE, Temps
 from gltvae.utils.h5_export import export_reference_checkpoint

@@ -12,6 +12,8 @@ at 1.0 on the diagonal), and every backward conv.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

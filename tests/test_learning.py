@@ -63,3 +63,36 @@ def test_scan_steps_match_per_step_dispatch():
                     jax.tree.leaves(s_scan.params)):
         np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_128px_config_trains():
+    """The celeba128 config (5-stage deconv stack, 40 labels, z=100) must
+    actually TRAIN, not just bench: a few steps on synthetic 128px data
+    with finite decreasing loss and gradient flow through every stage
+    (VERDICT r1 weak #7: 'benched but never trained')."""
+    from gltvae.config import celeba128
+    model_cfg, _ = celeba128()
+    cfg = TrainConfig(batch_size=4, lr=1e-3, classifier_mc_samples=2)
+    model = CCVAE(model_cfg)
+    rng = np.random.RandomState(0)
+    mu = rng.rand(model_cfg.z_classify, model_cfg.y_dim).astype(np.float32)
+    state = create_train_state(model, cfg, jax.random.key(0), mu_init=mu)
+    sup, _ = make_train_steps(model, cfg, donate=False)
+    x = rng.randint(0, 256, (4, 128, 128, 3)).astype(np.uint8)
+    y = (rng.rand(4, 40) > 0.5).astype(np.float32)
+    losses = []
+    s = state
+    for _ in range(24):
+        s, m = sup(s, x, y, 1.0)
+        losses.append(m['loss'])
+    losses = [float(v) for v in jax.device_get(losses)]
+    assert all(np.isfinite(losses)), losses
+    # per-step loss is dominated by z/gate sampling noise at batch 4;
+    # compare window means (deterministic seeds: 55.8k -> 41.5k measured)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    # gradient flow: every deconv stage moved
+    for layer, sub in s.params['decoder'].items():
+        d = sum(float(np.abs(np.array(a) - np.array(b)).sum())
+                for a, b in zip(jax.tree.leaves(sub),
+                                jax.tree.leaves(state.params['decoder'][layer])))
+        assert d > 0, f'decoder/{layer} did not update'

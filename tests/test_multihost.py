@@ -1,0 +1,105 @@
+"""Multi-host (DCN) data parallelism: a REAL 2-process jax.distributed run
+on localhost CPU. Each process owns 2 virtual devices (4 global); the
+gradient psum crosses the process boundary — the single-host ICI story
+(test_parallel/test_shardmap) extended over the reference's empty DCN slot
+(SURVEY.md §1/§2: jax.distributed.initialize, parallel/mesh.py:45-55).
+
+The 2-process run must produce the same loss and post-step parameters as a
+single-process run over the same GLOBAL batch (DP semantics are mesh-shape
+independent)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r'''
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                         sys.argv[4])
+sys.path.insert(0, {repo!r})
+if nproc > 1:
+    from gltvae.parallel.mesh import initialize_multihost
+    initialize_multihost(coordinator_address='127.0.0.1:' + port,
+                         num_processes=nproc, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from gltvae.config import ModelConfig, TrainConfig
+from gltvae.models.ccvae import CCVAE
+from gltvae.parallel.mesh import create_mesh
+from gltvae.parallel.dp import (make_parallel_train_steps, shard_state,
+                                shard_batch)
+from gltvae.train.state import create_train_state
+
+assert jax.process_count() == nproc, (jax.process_count(), nproc)
+GLOBAL_B = 8
+cfg = ModelConfig(image_size=16, z_dim=12, y_dim=6, enc_features=(8, 8),
+                  enc_hidden=16, dec_features=(16, 8))
+tc = TrainConfig(batch_size=GLOBAL_B, classifier_mc_samples=2)
+model = CCVAE(cfg)
+rng = np.random.RandomState(0)
+mu = rng.rand(cfg.z_classify, cfg.y_dim).astype(np.float32)
+state = create_train_state(model, tc, jax.random.key(0), mu_init=mu)
+mesh = create_mesh()
+state = shard_state(state, mesh)
+sup, _ = make_parallel_train_steps(model, tc, mesh, donate=False)
+
+# every process draws the same GLOBAL batch; shard_batch keeps the local
+# slice its devices own (the Trainer convention for multi-host runs)
+x = rng.randint(0, 256, (GLOBAL_B, 16, 16, 3)).astype(np.uint8)
+y = (rng.rand(GLOBAL_B, 6) > 0.5).astype(np.float32)
+xg, yg = shard_batch((x, y), mesh)
+
+state, m = sup(state, xg, yg, 1.0)
+loss = float(jax.device_get(m['loss']))
+if pid == 0:
+    np.savez(out, loss=loss,
+             mu=np.asarray(jax.device_get(state.params['mu'])),
+             clf=np.asarray(
+                 jax.device_get(state.params['classifier']['kernel'])))
+'''
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def _run(nproc, devices_per_proc, out, port, timeout=420):
+    code = WORKER.format(repo=REPO)
+    env = dict(os.environ)
+    kept = [t for t in env.get('XLA_FLAGS', '').split()
+            if 'xla_force_host_platform_device_count' not in t]
+    env['XLA_FLAGS'] = ' '.join(
+        kept + [f'--xla_force_host_platform_device_count={devices_per_proc}'])
+    env['JAX_PLATFORMS'] = 'cpu'
+    procs = [subprocess.Popen(
+        [sys.executable, '-c', code, str(pid), str(nproc), str(port), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(nproc)]
+    outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f'worker rc={p.returncode}:\n{o[-3000:]}'
+
+
+def test_two_process_dcn_matches_single_process(tmp_path):
+    port = _free_port()
+    out2 = str(tmp_path / 'two.npz')
+    out1 = str(tmp_path / 'one.npz')
+    _run(nproc=2, devices_per_proc=2, out=out2, port=port)
+    _run(nproc=1, devices_per_proc=4, out=out1, port=_free_port())
+    a, b = np.load(out1), np.load(out2)
+    np.testing.assert_allclose(a['loss'], b['loss'], rtol=1e-5)
+    np.testing.assert_allclose(a['mu'], b['mu'], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(a['clf'], b['clf'], rtol=1e-5, atol=1e-7)

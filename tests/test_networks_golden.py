@@ -7,6 +7,8 @@ checkpoints are golden fixtures)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -59,3 +59,41 @@ def test_semi_supervised_falls_back_to_per_step():
     # 3 sup + 3 unsup batches
     assert int(t.state.step) == 6
     assert np.isfinite(result['best_val_accuracy'])
+
+
+def test_scan_eval_matches_per_batch_eval():
+    """Trainer.evaluate through the scan-eval dispatch must produce the
+    IDENTICAL accuracy as the per-batch path (same key chain, same
+    per-batch values), including a remainder chunk (3 batches, spd=2)."""
+    cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                      classifier_mc_samples=2)
+    # 24 valid images -> 3 batches: one full spd=2 chunk + a remainder
+    from gltvae.data.synthetic import synthetic_splits
+    splits = synthetic_splits(n_train=48, n_valid=24, n_test=8,
+                              sup_frac=1.0, image_size=16, y_dim=4)
+    lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+
+    t1 = Trainer(MODEL, cfg, mu_init=mu())
+    t2 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2)
+    assert t2._scan_eval is not None
+    acc1 = t1.evaluate(lds['valid'])
+    lds['valid'].reset()
+    acc2 = t2.evaluate(lds['valid'])
+    np.testing.assert_allclose(acc1, acc2, rtol=1e-6)
+
+
+def test_scan_eval_on_mesh_matches_single():
+    from gltvae.parallel.mesh import create_mesh
+    cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                      classifier_mc_samples=2)
+    from gltvae.data.synthetic import synthetic_splits
+    splits = synthetic_splits(n_train=48, n_valid=32, n_test=8,
+                              sup_frac=1.0, image_size=16, y_dim=4)
+    lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    t1 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2)
+    acc1 = t1.evaluate(lds['valid'])
+    lds['valid'].reset()
+    tm = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2,
+                 mesh=create_mesh())
+    accm = tm.evaluate(lds['valid'])
+    np.testing.assert_allclose(acc1, accm, rtol=1e-5)

@@ -60,11 +60,57 @@ def bench_native(paths, out_size, threads):
     return len(paths) / (time.perf_counter() - t0)
 
 
+def bench_ship_and_step(out_size, batch_size=256, iters=20, full_res=False):
+    """End-to-end device leg: host->device transfer of a uint8 batch +
+    one supervised train step, with either host-resized (out_size px) or
+    FULL-RES (218x178) batches resized on device (DataConfig.device_resize
+    via steps._prep_image -> ops/resize GEMMs). Fenced by a host fetch of
+    the loss. Isolates the bus-vs-MXU tradeoff the north star asks about:
+    full-res uint8 is ~10x the bytes at 64px, ~2.4x at 128px."""
+    import jax
+    import jax.numpy as jnp
+    from gltvae.config import ModelConfig, TrainConfig, celeba128
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.train.state import create_train_state
+    from gltvae.train.steps import make_train_steps
+
+    if out_size == 128:
+        cfg, _ = celeba128()
+        cfg = ModelConfig(**{**cfg.__dict__, 'compute_dtype': 'bfloat16'})
+    else:
+        cfg = ModelConfig(compute_dtype='bfloat16')
+    tc = TrainConfig(batch_size=batch_size)
+    model = CCVAE(cfg)
+    rng = np.random.RandomState(0)
+    mu = rng.rand(cfg.z_classify, cfg.y_dim).astype(np.float32)
+    state = create_train_state(model, tc, jax.random.key(0), mu_init=mu)
+    sup, _ = make_train_steps(model, tc)
+
+    shape = ((batch_size, 218, 178, 3) if full_res
+             else (batch_size, out_size, out_size, 3))
+    host_batches = [rng.randint(0, 256, shape, dtype=np.uint8)
+                    for _ in range(4)]
+    y = jnp.asarray((rng.rand(batch_size, cfg.y_dim) > 0.5)
+                    .astype(np.float32))
+    # warm / compile
+    state, m = sup(state, jnp.asarray(host_batches[0]), y, 1.0)
+    float(jax.device_get(m['loss']))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        x = jnp.asarray(host_batches[i % 4])   # fresh host->device ship
+        state, m = sup(state, x, y, 1.0)
+    float(jax.device_get(m['loss']))           # completion fence
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--n', type=int, default=512)
     p.add_argument('--out-size', type=int, default=64)
     p.add_argument('--threads', type=int, default=os.cpu_count() or 1)
+    p.add_argument('--device-resize', action='store_true',
+                   help='also bench the host->device ship + train step '
+                        'with host-resize vs full-res device-resize')
     args = p.parse_args()
 
     with tempfile.TemporaryDirectory() as d:
@@ -76,6 +122,11 @@ def main():
             f'native_cpp_x{args.threads}':
                 bench_native(paths, args.out_size, args.threads),
         }
+    if args.device_resize:
+        results[f'ship{args.out_size}px+step (host resize)'] = \
+            bench_ship_and_step(args.out_size, full_res=False)
+        results['ship218x178+step (device resize)'] = \
+            bench_ship_and_step(args.out_size, full_res=True)
     for k, v in results.items():
         print(f'{k:45s} {"n/a" if v is None else f"{v:8.0f} img/s"}')
 

@@ -55,6 +55,13 @@ def parse_args(argv=None):
                    help='image-correlated synthetic labels (learnable)')
     p.add_argument('--mesh', action='store_true',
                    help='data-parallel over all visible devices')
+    p.add_argument('--dist-coordinator', default=None,
+                   help='multi-host (DCN) coordinator address host:port; '
+                        'requires --dist-num-processes/--dist-process-id '
+                        '(jax.distributed over the reference\'s empty '
+                        'distribution slot, SURVEY.md §2)')
+    p.add_argument('--dist-num-processes', type=int, default=None)
+    p.add_argument('--dist-process-id', type=int, default=None)
     p.add_argument('--compute-dtype', default='float32',
                    choices=['float32', 'bfloat16'])
     p.add_argument('--seed', type=int, default=0)
@@ -176,6 +183,13 @@ def run(args, sup: float):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.dist_num_processes and args.dist_num_processes > 1:
+        # must run before any other jax backend touch
+        from gltvae.parallel.mesh import initialize_multihost
+        initialize_multihost(coordinator_address=args.dist_coordinator,
+                            num_processes=args.dist_num_processes,
+                            process_id=args.dist_process_id)
+        args.mesh = True  # a multi-host run is by definition a mesh run
     if args.debug_nans:
         import jax
         jax.config.update('jax_debug_nans', True)
