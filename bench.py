@@ -138,9 +138,16 @@ def bench_eval(batch_size: int, iters: int = 10, scan: int = 32):
                      .astype(np.float32))
     key = jax.random.key(1)
     accs = ev(state.params, xs, ys, jax.random.split(key, scan), 0.3)
-    float(jax.device_get(accs.sum()))  # compile + completion fence
-    t0 = time.perf_counter()
+    # warmup mirrors the timed loop exactly so every executable (eval scan,
+    # sum, accumulate-add) is compiled before t0 — a cold in-loop compile
+    # once deflated this number >10x
     total = accs.sum() * 0.0
+    total = total + ev(state.params, xs, ys,
+                       jax.random.split(jax.random.fold_in(key, iters), scan),
+                       0.3).sum()
+    float(jax.device_get(total))  # compile + completion fence
+    t0 = time.perf_counter()
+    total = total * 0.0
     for i in range(iters):
         keys = jax.random.split(jax.random.fold_in(key, i), scan)
         total = total + ev(state.params, xs, ys, keys, 0.3).sum()
