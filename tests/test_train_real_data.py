@@ -1,0 +1,70 @@
+"""End-to-end: the full train.py CLI path over an on-disk JPEG dataset.
+
+Everything between the filesystem and the device is real here: attr-CSV
+parse, split construction, threaded JPEG decode workers, host resize,
+uint8 ship + device normalize, the sup/unsup interleave, Orbax
+checkpointing, and best-model test eval — the same path a user runs on
+real CelebA (reference driver: /root/reference/gated_ccvae.py:458-537).
+The synthetic-mode CLI tests (test_cli.py) bypass the image pipeline;
+this one does not.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gltvae.config import CELEBA_LABELS
+
+
+@pytest.fixture(scope='module')
+def celeba_root(tmp_path_factory):
+    """A miniature CelebA-format root: JPEGs at the real 178x218
+    resolution + comma-format attr CSV (utils_data.py:99-127)."""
+    import PIL.Image
+    root = tmp_path_factory.mktemp('mini_celeba')
+    img_dir = root / 'img_align_celeba'
+    img_dir.mkdir()
+    rng = np.random.RandomState(7)
+    n = 32
+    rows = rng.choice([-1, 1], size=(n, 40))
+    lines = ['image_id,' + ','.join(CELEBA_LABELS)]
+    for i in range(n):
+        name = f'{i:06d}.jpg'
+        lines.append(name + ',' + ','.join(map(str, rows[i])))
+        PIL.Image.fromarray(
+            rng.randint(0, 255, (218, 178, 3), dtype=np.uint8)
+        ).save(img_dir / name, quality=92)
+    (root / 'list_attr_celeba.csv').write_text('\n'.join(lines) + '\n')
+    return root
+
+
+def test_cli_trains_on_jpeg_dataset(celeba_root, tmp_path):
+    import train as cli
+    out = tmp_path / 'models'
+    results = cli.main([
+        '--data-dir', str(celeba_root), '--output-dir', str(out),
+        '--do-train', '--epochs', '1', '-bs', '4', '--sup', '0.5',
+        '--n-train', '20', '--n-valid', '6', '--n-test', '6',
+        '--num-workers', '2', '--seed', '0',
+    ])
+    assert set(results) == {0.5}
+    assert 0.0 <= results[0.5] <= 1.0
+    run_dir = out / 'params_0.5_learnable'
+    assert (run_dir / 'metrics.csv').exists()
+    assert (run_dir / 'learned_gating_matrix_best.npy').exists()
+    assert os.listdir(run_dir / 'orbax'), 'no checkpoint written'
+    # gating-matrix cache written next to the data in reference format
+    # (utils_data.py:166-172)
+    assert (celeba_root / 'gating_matrix_0.5.npy').exists()
+    mu = np.load(celeba_root / 'gating_matrix_0.5.npy')
+    assert mu.shape == (18, 18)
+    np.testing.assert_allclose(np.diag(mu), 1.0)
+
+
+def test_split_override_flags_reach_dataconfig():
+    import train as cli
+    args = cli.parse_args(['--n-train', '20', '--n-valid', '6'])
+    _, _, data_cfg = cli.build_configs(args, sup=1.0)
+    assert data_cfg.n_train == 20 and data_cfg.n_valid == 6
+    assert data_cfg.n_test == 19962  # untouched default stays official

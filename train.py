@@ -83,6 +83,11 @@ def parse_args(argv=None):
                    help='lax.scan N same-kind steps per device dispatch '
                         '(uniform schedules only; semantics identical)')
     p.add_argument('--num-workers', type=int, default=8)
+    p.add_argument('--n-train', type=int, default=None,
+                   help='train-split size (default: official 162770, '
+                        'utils_data.py:87-91); set for dataset subsets')
+    p.add_argument('--n-valid', type=int, default=None)
+    p.add_argument('--n-test', type=int, default=None)
     p.add_argument('--output-dir', default='./models')
     return p.parse_args(argv)
 
@@ -102,10 +107,14 @@ def build_configs(args, sup):
                             lr=args.lr, perc_supervision=sup,
                             gating_reg=args.l1_reg, seed=args.seed,
                             deterministic_eval=args.deterministic_eval)
+    split_overrides = {k: v for k, v in
+                       (('n_train', args.n_train), ('n_valid', args.n_valid),
+                        ('n_test', args.n_test)) if v is not None}
     data_cfg = DataConfig(data_dir=args.data_dir,
                           image_size=args.image_size,
                           use_easy_labels=(args.image_size == 64),
-                          num_workers=args.num_workers)
+                          num_workers=args.num_workers,
+                          **split_overrides)
     return model_cfg, train_cfg, data_cfg
 
 
