@@ -91,9 +91,38 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
     # no runtime memory_stats — e.g. the axon tunnel)
     if scan > 1:
         hbm = _hbm_estimate(step_fn, state, xs, ys, 1.0)
+        roof = _roofline(step_fn, (state, xs, ys, 1.0), dt / (steps * scan))
     else:
         hbm = _hbm_estimate(fn, state, x, y, 1.0)
-    return batch_size * steps * per_call / dt, final_loss, hbm
+        roof = _roofline(fn, (state, x, y, 1.0), dt / steps)
+    return batch_size * steps * per_call / dt, final_loss, hbm, roof
+
+
+def _roofline(jitted, args, secs_per_step):
+    """Achieved TFLOP/s and HBM GB/s from XLA cost_analysis of the
+    compiled program (static estimates) divided by the measured, fenced
+    per-step time. XLA counts a lax.scan/while body ONCE (not x trip
+    count), so the program totals ARE per-step figures for the scanned
+    train program (out-of-loop ops contribute <1/scan extra). On a
+    memory-bound model (this one: arithmetic intensity ~50 FLOP/byte vs
+    the v5e ridge ~240) the GB/s figure is the speed-of-light yardstick,
+    not MXU utilization."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = ca.get('flops', 0.0)
+        byts = ca.get('bytes accessed', 0.0)
+        if not flops or not byts:
+            return None
+        return {
+            'step_gflops': round(flops / 1e9, 2),
+            'step_mbytes_accessed': round(byts / 2**20, 1),
+            'achieved_tflops_per_sec': round(flops / secs_per_step / 1e12, 1),
+            'achieved_hbm_gbytes_per_sec': round(byts / secs_per_step / 1e9, 0),
+        }
+    except Exception:
+        return None
 
 
 def _hbm_estimate(jitted, *args):
@@ -204,7 +233,7 @@ def main():
         except Exception:
             return None
 
-    imgs_per_sec, loss, hbm_est = bench_train_step(
+    imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
         scan=args.scan, image_size=args.image_size)
     traversal_ms = (None if args.skip_traversal else bench_traversal())
@@ -227,6 +256,7 @@ def main():
                             else 'compiled_memory_analysis_estimate'),
         'eval_images_per_sec': (None if eval_ips is None
                                 else round(eval_ips, 1)),
+        'roofline': roofline,
     }
     print(json.dumps(result))
 
