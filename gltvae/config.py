@@ -188,3 +188,34 @@ def celeba128(gate_type: str = 'learnable', sup: float = 1.0,
     )
     train = TrainConfig(perc_supervision=sup, **overrides)
     return model, train
+
+
+def v5p8_sweep(**overrides) -> list:
+    """Data-parallel sweep on a v5p-8 (8-chip) mesh: all gating modes x
+    sup fractions {0.2, 0.5, 1.0} at global batch 4096 with on-device
+    preprocessing (BASELINE.json config 5). Run each entry via
+    `train.py --mesh -bs 4096 --gate-type ... --sup ...`; uint8 batches
+    are host-sharded over the mesh (parallel/dp.py::shard_batch) and
+    normalized on device. Returns (name, ModelConfig, TrainConfig)
+    triples.
+
+    The reference has no distributed slot at all (SURVEY.md §2); this is
+    the framework's scaling config. Proven shape-for-shape by an
+    AOT-compile test over an 8-device mesh (tests/test_v5p8_config.py)
+    and executed at tiny shapes by __graft_entry__.dryrun_multichip.
+    """
+    gate_modes = [('learnable', 'inferred'), ('fixed', 'inferred'),
+                  ('fixed', 'one-one')]
+    out = []
+    for gate_type, gate_subtype in gate_modes:
+        for sup in (0.2, 0.5, 1.0):
+            model = ModelConfig(gate_type=gate_type,
+                                gate_subtype=gate_subtype,
+                                compute_dtype='bfloat16')
+            train = TrainConfig(perc_supervision=sup, batch_size=4096,
+                                **overrides)
+            name = (f'v5p8_{gate_type}'
+                    + ('' if gate_type == 'learnable' else f'_{gate_subtype}')
+                    + f'_sup{sup}')
+            out.append((name, model, train))
+    return out
