@@ -36,7 +36,8 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
 
     if image_size == 128:
         cfg, _ = celeba128()
-        cfg = ModelConfig(**{**cfg.__dict__, 'compute_dtype': compute_dtype})
+        import dataclasses
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     else:
         cfg = ModelConfig(compute_dtype=compute_dtype)
     train_cfg = TrainConfig(batch_size=batch_size)
@@ -88,18 +89,24 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
     dt = time.perf_counter() - t0
 
     # compiled-program HBM footprint (estimate; used when the backend has
-    # no runtime memory_stats — e.g. the axon tunnel)
+    # no runtime memory_stats — e.g. the axon tunnel) + roofline, both
+    # read from ONE AOT lower+compile (it is a fresh executable build,
+    # minutes at 128px — never pay it twice)
     if scan > 1:
-        hbm = _hbm_estimate(step_fn, state, xs, ys, 1.0)
-        roof = _roofline(step_fn, (state, xs, ys, 1.0), dt / (steps * scan))
+        hbm, roof = _compiled_analyses(step_fn, (state, xs, ys, 1.0),
+                                       dt / (steps * scan))
     else:
-        hbm = _hbm_estimate(fn, state, x, y, 1.0)
-        roof = _roofline(fn, (state, x, y, 1.0), dt / steps)
+        hbm, roof = _compiled_analyses(fn, (state, x, y, 1.0), dt / steps)
     return batch_size * steps * per_call / dt, final_loss, hbm, roof
 
 
-def _roofline(jitted, args, secs_per_step):
-    """Achieved TFLOP/s and HBM GB/s from XLA cost_analysis of the
+def _compiled_analyses(jitted, args, secs_per_step):
+    """(hbm_estimate_mb, roofline_dict) from ONE AOT compile of the step.
+
+    HBM: memory_analysis temp + args + output MiB (an upper-bound style
+    static estimate, not a runtime peak).
+
+    Roofline: achieved TFLOP/s and HBM GB/s from XLA cost_analysis of the
     compiled program (static estimates) divided by the measured, fenced
     per-step time. XLA counts a lax.scan/while body ONCE (not x trip
     count), so the program totals ARE per-step figures for the scanned
@@ -108,36 +115,40 @@ def _roofline(jitted, args, secs_per_step):
     the v5e ridge ~240) the GB/s figure is the speed-of-light yardstick,
     not MXU utilization."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+    except Exception:
+        return None, None
+
+    hbm = None
+    try:
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            total = (getattr(ma, 'temp_size_in_bytes', 0)
+                     + getattr(ma, 'argument_size_in_bytes', 0)
+                     + getattr(ma, 'output_size_in_bytes', 0))
+            hbm = round(total / 2 ** 20, 1) if total else None
+    except Exception:
+        pass
+
+    roof = None
+    try:
+        ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = ca.get('flops', 0.0)
         byts = ca.get('bytes accessed', 0.0)
-        if not flops or not byts:
-            return None
-        return {
-            'step_gflops': round(flops / 1e9, 2),
-            'step_mbytes_accessed': round(byts / 2**20, 1),
-            'achieved_tflops_per_sec': round(flops / secs_per_step / 1e12, 1),
-            'achieved_hbm_gbytes_per_sec': round(byts / secs_per_step / 1e9, 0),
-        }
+        if flops and byts:
+            roof = {
+                'step_gflops': round(flops / 1e9, 2),
+                'step_mbytes_accessed': round(byts / 2**20, 1),
+                'achieved_tflops_per_sec':
+                    round(flops / secs_per_step / 1e12, 1),
+                'achieved_hbm_gbytes_per_sec':
+                    round(byts / secs_per_step / 1e9, 0),
+            }
     except Exception:
-        return None
-
-
-def _hbm_estimate(jitted, *args):
-    """XLA memory_analysis of the compiled step: temp + args + output MiB
-    (an upper-bound style static estimate, not a runtime peak)."""
-    try:
-        ma = jitted.lower(*args).compile().memory_analysis()
-        if ma is None:
-            return None
-        total = (getattr(ma, 'temp_size_in_bytes', 0)
-                 + getattr(ma, 'argument_size_in_bytes', 0)
-                 + getattr(ma, 'output_size_in_bytes', 0))
-        return round(total / 2 ** 20, 1) if total else None
-    except Exception:
-        return None
+        pass
+    return hbm, roof
 
 
 def bench_eval(batch_size: int, iters: int = 10, scan: int = 32):
@@ -236,6 +247,7 @@ def main():
     imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
         scan=args.scan, image_size=args.image_size)
+    peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
     eval_ips = (None if args.skip_traversal
                 else bench_eval(args.batch_size))
@@ -251,8 +263,8 @@ def main():
         'final_loss': round(loss, 2),
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),
-        'peak_hbm_mb': peak_mb() if peak_mb() is not None else hbm_est,
-        'peak_hbm_source': ('memory_stats' if peak_mb() is not None
+        'peak_hbm_mb': peak_hbm if peak_hbm is not None else hbm_est,
+        'peak_hbm_source': ('memory_stats' if peak_hbm is not None
                             else 'compiled_memory_analysis_estimate'),
         'eval_images_per_sec': (None if eval_ips is None
                                 else round(eval_ips, 1)),

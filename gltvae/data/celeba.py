@@ -196,7 +196,11 @@ class CelebAReader:
 
     def setup_data_loaders(self) -> Dict[str, BatchLoader]:
         if self.sup_frac == 0.0:
-            modes = ['unsup', 'test']
+            # the reference builds no valid loader for sup=0.0
+            # (utils_data.py modes) because it never checkpoints those
+            # runs; this framework best-checkpoints them on validation
+            # ELBO (train/loop.py), which needs the valid split
+            modes = ['unsup', 'test', 'valid']
         elif self.sup_frac == 1.0:
             modes = ['sup', 'test', 'valid']
         else:

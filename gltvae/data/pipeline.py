@@ -151,6 +151,9 @@ class BatchLoader:
         cv = threading.Condition()
         counters = {'consumed': 0}
         stop = threading.Event()
+        # introspection handle for tests asserting the backpressure cap
+        self._iter_buffers = {'out': out, 'idx_q': idx_q,
+                              'counters': counters, 'cap': cap}
 
         def feeder():
             seq = 0

@@ -6,9 +6,13 @@ with a triple Python loop (/root/reference/utils.py:132-149, driven from
 utils_data.py:147-176 and duplicated in gen_intial_gating_matrix.py:52-77).
 
 Here the same quantity is one matmul: for the 0/1 label matrix L (N × y),
-co-occurrence counts are LᵀL with the diagonal removed, normalized by N,
-diagonal set to 1. Verified element-for-element against the reference
-algorithm in tests/test_gating.py.
+co-occurrence counts are LᵀL with the diagonal removed, normalized by N⁺
+(the number of samples with ≥1 positive label — the reference's np.nonzero
+grouping drops all-zero rows), diagonal set to 1. Verified
+element-for-element against the reference algorithm in tests/test_gating.py.
+NOTE: cached gating_matrix_{sup}.npy files short-circuit recomputation
+(gating_matrix_from_labels), so matrices cached by any divergent earlier
+code must be deleted to pick up this normalization.
 """
 
 from __future__ import annotations

@@ -61,6 +61,10 @@ def _place(batch, sharding, mesh: Mesh, batch_axis: int):
 
     def one(a):
         a = np.asarray(a)
+        if a.shape[batch_axis] % pc:
+            raise ValueError(
+                f'global batch dim {a.shape[batch_axis]} not divisible by '
+                f'process_count {pc}: rows would be silently dropped')
         ls = a.shape[batch_axis] // pc
         idx = [slice(None)] * a.ndim
         idx[batch_axis] = slice(pid * ls, (pid + 1) * ls)

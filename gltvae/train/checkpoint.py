@@ -7,6 +7,12 @@ Also exports the learned gating matrix in the reference's artifact format
 (learned_gating_matrix_{id}.npy + labeled .csv, gated_ccvae.py:395-401)
 so the reference's Quantitative_analysis workflow consumes our runs
 unchanged.
+
+Compatibility: the opt_state pytree follows the CURRENT optimizer
+(train/state.py::keras_adam, a bare ScaleByAdamState). Checkpoints written
+by earlier builds that used optax.adam's chain tuple do not restore —
+StandardRestore fails on the tree-structure mismatch; retrain or export
+weights via utils/h5_export and reimport.
 """
 
 from __future__ import annotations
@@ -58,6 +64,15 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def all_steps(self):
+        return list(self._mgr.all_steps())
+
+    def delete(self, step: int):
+        """Remove an existing checkpoint (e.g. a stale same-step save from
+        a previous run into the same directory)."""
+        self._mgr.wait_until_finished()
+        self._mgr.delete(step)
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()

@@ -102,6 +102,7 @@ class Trainer:
         self.gating_temp = train_cfg.gating_temp_for(model_cfg)
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
+        self._steps_saved: set = set()  # steps persisted by THIS run
         self.metrics = MetricsLogger(metrics_path)
         self.throughput = Throughput()
         self._eval_key = jax.random.key(train_cfg.seed + 1)
@@ -251,12 +252,17 @@ class Trainer:
 
     def _save(self, param_dir: Optional[str], model_id: str, metrics: dict):
         metrics = {k: v for k, v in metrics.items() if np.isfinite(v)}
-        if self.ckpt is not None and \
-                self.ckpt.latest_step() != int(self.state.step):
-            # (equal steps: 'best' was just written for this same state —
-            # a second Orbax save would raise StepAlreadyExistsError; the
-            # μ artifacts below are still exported under the new model_id)
+        step = int(self.state.step)
+        if self.ckpt is not None and step not in self._steps_saved:
+            # A step saved by THIS run (e.g. 'best' then 'last' on the same
+            # final state) is skipped — a second Orbax save would raise
+            # StepAlreadyExistsError and the bytes are identical. A step
+            # left over from a PREVIOUS run into the same directory is
+            # stale — delete it so this run's state actually persists.
+            if step in self.ckpt.all_steps():
+                self.ckpt.delete(step)
             self.ckpt.save(self.state, metrics=metrics)
+            self._steps_saved.add(step)
         if param_dir and self.model.cfg.gate_type == 'learnable':
             names = (CELEBA_EASY_LABELS
                      if self.model.cfg.y_dim == len(CELEBA_EASY_LABELS)

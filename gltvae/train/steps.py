@@ -176,9 +176,19 @@ def _prep_image(x, image_size: int):
 
     The resize lowers to two separable interpolation GEMMs on the MXU
     (gltvae.ops.resize); the reference resizes per-image with PIL on the
-    host training thread (utils_data.py:48-63)."""
+    host training thread (utils_data.py:48-63).
+
+    Only a genuine full-res ship (both dims strictly larger than the
+    model resolution, e.g. CelebA's 218x178) is resized; any other
+    mismatch is a miswired loader and raises rather than silently
+    coercing the data."""
     x = _as_f32_image(x)
-    if x.shape[-3] != image_size or x.shape[-2] != image_size:
+    h, w = x.shape[-3], x.shape[-2]
+    if h == image_size and w == image_size:
+        return x
+    if h > image_size and w > image_size:
         from gltvae.ops.resize import resize_bilinear
-        x = resize_bilinear(x, image_size, image_size)
-    return x
+        return resize_bilinear(x, image_size, image_size)
+    raise ValueError(
+        f'batch resolution {h}x{w} is neither the model resolution '
+        f'{image_size}x{image_size} nor a full-res ship to downscale')

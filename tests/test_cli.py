@@ -56,3 +56,13 @@ def test_synthetic_loaders_modes():
     loaders, mu = cli.make_loaders(a, d, t, y_dim=18)
     assert set(loaders) == {'sup', 'unsup', 'valid', 'test'}
     assert mu.shape == (18, 18)
+
+
+def test_partial_dist_flags_rejected():
+    """A partial --dist-* set would silently run single-host (coordinator
+    without num-processes) or crash inside jax.distributed (no process-id);
+    main() must reject it up front."""
+    with pytest.raises(SystemExit, match='dist'):
+        cli.main(['--dist-coordinator', 'localhost:1234', '--synthetic'])
+    with pytest.raises(SystemExit, match='dist'):
+        cli.main(['--dist-num-processes', '2', '--synthetic'])

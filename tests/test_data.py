@@ -105,6 +105,13 @@ class TestBatchLoader:
         time.sleep(0.5)  # let the feeder/workers run as far as they can
         # authoritative cursor reflects only CONSUMED batches
         assert thr._start == 4
+        # the completed-batch buffer is actually capped: the stream is
+        # infinite (wrap-around), so an unbounded feeder would have
+        # produced far more than cap batches in 0.5s
+        buf = thr._iter_buffers
+        assert len(buf['out']) <= buf['cap'], \
+            (len(buf['out']), buf['cap'])
+        assert buf['idx_q'].qsize() <= thr.prefetch * 2
         # speculative production is capped (observable via the next
         # batches still matching the sync stream after the stall)
         sync = BatchLoader(ds, 4, shuffle=True, seed=0, num_workers=0)

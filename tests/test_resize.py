@@ -91,3 +91,18 @@ def test_train_step_accepts_full_res_input():
     ev = make_eval_step(model, tc)
     acc = ev(state.params, x_full, y, jax.random.key(1), 0.3)
     assert 0.0 <= float(acc) <= 1.0
+
+
+def test_prep_image_rejects_non_fullres_mismatch():
+    """_prep_image only downscales a genuine full-res ship; any other
+    resolution mismatch is a miswired loader and must raise, not silently
+    coerce the data."""
+    import jax.numpy as jnp
+    import pytest
+    from gltvae.train.steps import _prep_image
+    ok = _prep_image(jnp.zeros((2, 218, 178, 3), jnp.uint8), 64)
+    assert ok.shape == (2, 64, 64, 3)
+    with pytest.raises(ValueError, match='resolution'):
+        _prep_image(jnp.zeros((2, 32, 32, 3), jnp.uint8), 64)
+    with pytest.raises(ValueError, match='resolution'):
+        _prep_image(jnp.zeros((2, 64, 32, 3), jnp.uint8), 64)

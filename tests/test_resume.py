@@ -49,3 +49,36 @@ def test_resume_without_checkpoint_is_fresh(tmp_path):
                 checkpoint_dir=str(tmp_path / 'empty'))
     result = t.train(make_loaders(), epochs=1, resume=True)
     assert len(result['history']) == 1
+
+
+def test_retrain_same_dir_overwrites_stale_checkpoint(tmp_path):
+    """A rerun (no resume) into the same checkpoint dir lands on the same
+    step numbers as the previous run; its saves must REPLACE the stale
+    checkpoints rather than be silently skipped — otherwise do-test would
+    report the previous run's weights as this run's."""
+    import dataclasses
+    import jax
+
+    ckpt_dir = str(tmp_path / 'ckpt')
+    mu = np.eye(4, dtype=np.float32)
+    t1 = Trainer(MODEL, CFG, mu_init=mu, checkpoint_dir=ckpt_dir)
+    t1.train(make_loaders(), epochs=1)
+    final1 = jax.device_get(t1.state.params)
+    t1.ckpt.close()
+
+    cfg2 = dataclasses.replace(CFG, seed=123)  # different init
+    t2 = Trainer(MODEL, cfg2, mu_init=mu, checkpoint_dir=ckpt_dir)
+    t2.train(make_loaders(), epochs=1)
+    assert int(t2.state.step) == int(t1.state.step)  # same-step collision
+    final2 = jax.device_get(t2.state.params)
+    t2.ckpt.close()
+
+    t3 = Trainer(MODEL, cfg2, mu_init=mu, checkpoint_dir=ckpt_dir)
+    t3.restore()
+    restored = jax.device_get(t3.state.params)
+    l2_to_run2 = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(restored), jax.tree.leaves(final2)))
+    l2_to_run1 = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(restored), jax.tree.leaves(final1)))
+    assert l2_to_run2 == 0.0, 'restore did not return run 2 state'
+    assert l2_to_run1 > 0.0, 'runs were unexpectedly identical'

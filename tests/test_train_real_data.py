@@ -62,6 +62,19 @@ def test_cli_trains_on_jpeg_dataset(celeba_root, tmp_path):
     np.testing.assert_allclose(np.diag(mu), 1.0)
 
 
+def test_sup0_reader_builds_valid_loader(celeba_root):
+    """sup=0.0 runs best-checkpoint on validation ELBO (train/loop.py), so
+    the real-data reader must include the 'valid' loader — the reference
+    omits it for sup=0.0 because it never checkpoints those runs."""
+    from gltvae.config import DataConfig
+    from gltvae.data.celeba import CelebAReader
+    cfg = DataConfig(data_dir=str(celeba_root), n_train=20, n_valid=6,
+                     n_test=6, num_workers=0)
+    reader = CelebAReader(cfg, sup_frac=0.0, batch_size=4)
+    loaders = reader.setup_data_loaders()
+    assert set(loaders) == {'unsup', 'test', 'valid'}
+
+
 def test_split_override_flags_reach_dataconfig():
     import train as cli
     args = cli.parse_args(['--n-train', '20', '--n-valid', '6'])

@@ -43,8 +43,8 @@ def test_global_batch_4096_compiles_over_8_device_mesh():
     _, model_cfg, train_cfg = v5p8_sweep()[0]
     # f32 on the CPU mesh (bf16 conv lowering is TPU's job); shapes and
     # shardings — what this test pins — are dtype-independent
-    model_cfg = ModelConfig(**{**model_cfg.__dict__,
-                               'compute_dtype': 'float32'})
+    import dataclasses
+    model_cfg = dataclasses.replace(model_cfg, compute_dtype='float32')
     model = CCVAE(model_cfg)
     rng = np.random.RandomState(0)
     mu = rng.rand(18, 18).astype(np.float32)

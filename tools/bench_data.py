@@ -76,7 +76,8 @@ def bench_ship_and_step(out_size, batch_size=256, iters=20, full_res=False):
 
     if out_size == 128:
         cfg, _ = celeba128()
-        cfg = ModelConfig(**{**cfg.__dict__, 'compute_dtype': 'bfloat16'})
+        import dataclasses
+        cfg = dataclasses.replace(cfg, compute_dtype='bfloat16')
     else:
         cfg = ModelConfig(compute_dtype='bfloat16')
     tc = TrainConfig(batch_size=batch_size)

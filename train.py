@@ -93,11 +93,12 @@ def parse_args(argv=None):
 
 
 def build_configs(args, sup):
+    import dataclasses
     from gltvae.config import ModelConfig, TrainConfig, DataConfig, celeba128
     if args.image_size == 128:
         model_cfg, _ = celeba128(gate_type=args.gate_type, sup=sup)
-        model_cfg = type(model_cfg)(**{
-            **model_cfg.__dict__, 'compute_dtype': args.compute_dtype})
+        model_cfg = dataclasses.replace(model_cfg,
+                                        compute_dtype=args.compute_dtype)
     else:
         model_cfg = ModelConfig(z_dim=args.z_dim,
                                 gate_type=args.gate_type,
@@ -192,6 +193,17 @@ def run(args, sup: float):
 
 def main(argv=None):
     args = parse_args(argv)
+    dist_flags = (args.dist_coordinator, args.dist_num_processes,
+                  args.dist_process_id)
+    if any(f is not None for f in dist_flags) and \
+            (args.dist_coordinator is None or
+             args.dist_num_processes is None or
+             args.dist_process_id is None):
+        raise SystemExit(
+            'multi-host runs need all three of --dist-coordinator, '
+            '--dist-num-processes, --dist-process-id '
+            f'(got {dist_flags}); a partial set would silently run '
+            'single-host or crash inside jax.distributed')
     if args.dist_num_processes and args.dist_num_processes > 1:
         # must run before any other jax backend touch
         from gltvae.parallel.mesh import initialize_multihost
