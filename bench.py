@@ -230,9 +230,17 @@ def main():
                         '(1 = plain per-step dispatch)')
     p.add_argument('--image-size', type=int, default=64, choices=[64, 128])
     p.add_argument('--skip-traversal', action='store_true')
+    p.add_argument('--no-compilation-cache', action='store_true',
+                   help='disable the persistent XLA executable cache '
+                        '(cache only cuts compile wall time; the timed '
+                        'loops are steady-state either way)')
     args = p.parse_args()
 
     import jax
+    if not args.no_compilation_cache:
+        from gltvae.utils.compile_cache import (
+            enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache()
     backend = jax.default_backend()
 
     def peak_mb():

@@ -66,3 +66,24 @@ def test_partial_dist_flags_rejected():
         cli.main(['--dist-coordinator', 'localhost:1234', '--synthetic'])
     with pytest.raises(SystemExit, match='dist'):
         cli.main(['--dist-num-processes', '2', '--synthetic'])
+
+
+def test_persistent_compilation_cache_populates(tmp_path):
+    """enable_persistent_compilation_cache points jax at an on-disk
+    executable cache; a fresh compile must leave an entry there (the
+    cross-process reload is what cuts CLI cold-start from minutes to
+    seconds on the TPU tunnel)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from gltvae.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+    d = enable_persistent_compilation_cache(str(tmp_path / 'xla'),
+                                            min_compile_time_secs=0.0)
+    try:
+        def f(x):
+            return (x @ x).sum()
+        jax.jit(f)(jnp.ones((128, 128))).block_until_ready()
+        assert os.listdir(d), 'no cache entry written'
+    finally:
+        jax.config.update('jax_compilation_cache_dir', None)

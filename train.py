@@ -89,6 +89,13 @@ def parse_args(argv=None):
     p.add_argument('--n-valid', type=int, default=None)
     p.add_argument('--n-test', type=int, default=None)
     p.add_argument('--output-dir', default='./models')
+    p.add_argument('--compilation-cache', default='auto', metavar='DIR',
+                   help="persistent XLA executable cache dir ('auto' = "
+                        "~/.cache/gltvae/xla; 'off' disables); first "
+                        "compile of the train step is minutes, cached "
+                        "loads are seconds")
+    p.add_argument('--no-compilation-cache', dest='compilation_cache',
+                   action='store_const', const='off')
     return p.parse_args(argv)
 
 
@@ -214,6 +221,13 @@ def main(argv=None):
     if args.debug_nans:
         import jax
         jax.config.update('jax_debug_nans', True)
+    if args.compilation_cache != 'off':
+        from gltvae.utils.compile_cache import (
+            enable_persistent_compilation_cache)
+        d = enable_persistent_compilation_cache(
+            None if args.compilation_cache == 'auto'
+            else args.compilation_cache)
+        logger.info('persistent compilation cache: %s', d)
     results = {}
     for sup in args.sup:
         results[sup] = run(args, sup)
