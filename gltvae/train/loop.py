@@ -107,6 +107,19 @@ class Trainer:
         self.throughput = Throughput()
         self._eval_key = jax.random.key(train_cfg.seed + 1)
 
+    def load_params(self, params) -> None:
+        """Swap in an externally-loaded params pytree (e.g. a reference .h5
+        checkpoint via utils/h5_import) keeping step/opt state — the
+        TPU-era counterpart of the reference's load_model-then-train
+        (gated_ccvae.py:146-165 has no such path: it can only load for
+        eval). Fresh Adam moments are correct for a warm start: the
+        reference cannot resume its optimizer either."""
+        params = jax.tree.map(jnp.asarray, params)
+        if self.mesh is not None:
+            from gltvae.parallel.mesh import replicated_sharding
+            params = jax.device_put(params, replicated_sharding(self.mesh))
+        self.state = self.state.replace(params=params)
+
     # ------------------------------ schedule ------------------------------
     def epoch_schedule(self, loaders) -> tuple[int, int, int]:
         """(batches_per_epoch, period_sup_batches, sup_batches) —

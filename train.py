@@ -71,6 +71,11 @@ def parse_args(argv=None):
     p.add_argument('--deterministic-eval', action='store_true',
                    help='mean-z / expected-gate eval instead of the '
                         'reference stochastic eval')
+    p.add_argument('--init-from-h5', default=None, metavar='DIR',
+                   help='warm-start from a reference-format .h5 checkpoint '
+                        'directory (utils/h5_import); fixed gate modes take '
+                        'mu from the computed gating init when the dir has '
+                        'no learned_gating_matrix npy')
     p.add_argument('--resume', action='store_true',
                    help='resume from the latest Orbax checkpoint if one '
                         'exists (full state: params, Adam moments, step, '
@@ -179,6 +184,12 @@ def run(args, sup: float):
                       metrics_path=os.path.join(param_dir, 'metrics.csv'),
                       steps_per_dispatch=args.steps_per_dispatch)
 
+    if args.init_from_h5:
+        from gltvae.utils.h5_import import load_reference_checkpoint
+        trainer.load_params(load_reference_checkpoint(
+            args.init_from_h5, mu=mu_init))
+        logger.info('warm-started from %s', args.init_from_h5)
+
     if args.do_train:
         result = trainer.train(loaders, param_dir=param_dir,
                                resume=args.resume)
@@ -191,7 +202,11 @@ def run(args, sup: float):
         try:
             trainer.restore()
         except FileNotFoundError:
-            logger.warning('no checkpoint to restore; testing fresh init')
+            if args.init_from_h5:
+                logger.info('no Orbax checkpoint; testing the --init-from-h5 '
+                            'weights directly')
+            else:
+                logger.warning('no checkpoint to restore; testing fresh init')
         acc = trainer.test(loaders['test'])
         logger.info('Test Accuracy (best model): %.3f', acc)
         return acc
