@@ -121,7 +121,9 @@ class ImageFolderDataset:
                 return np.asarray(img, dtype=np.uint8)
             return cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
         import PIL.Image
-        img = PIL.Image.open(path)
+        # grayscale/RGBA/palette PNGs (tools/infer.py accepts arbitrary
+        # photo dirs) must land as 3-channel RGB like every other image
+        img = PIL.Image.open(path).convert('RGB')
         if self.center_crop:
             img = PIL.Image.fromarray(_center_crop(np.asarray(img)))
         if not self.host_resize:

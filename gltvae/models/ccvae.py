@@ -284,9 +284,11 @@ class CCVAE:
         return self.decode(params, jnp.concatenate([zs, zc], axis=-1))
 
     # ------------------------------ eval ------------------------------
-    def predict_labels(self, params, x, key, temps: Temps,
-                       deterministic: bool = False):
-        """ŷ = round(sigmoid(classifier(z, c))).
+    def predict_probs(self, params, x, key, temps: Temps,
+                      deterministic: bool = False):
+        """sigmoid(classifier(z, c)) — the one place the eval/inference
+        z-and-gate protocol lives (predict_labels, Trainer eval and
+        tools/infer.py all go through here).
 
         Stochastic by default for parity with the reference's eval
         (gated_ccvae.py:421-446: sampled z AND sampled gates — the source
@@ -301,8 +303,13 @@ class CCVAE:
             z = sample_normal(key_z, locs, scales)
             c = sample_gating(key_gate, params['mu'], temps.gating)
         _, z_classify = self.split_z(z)
-        logits = self.classify(params, z_classify, c)
-        return jnp.round(jax.nn.sigmoid(logits))
+        return jax.nn.sigmoid(self.classify(params, z_classify, c))
+
+    def predict_labels(self, params, x, key, temps: Temps,
+                       deterministic: bool = False):
+        """ŷ = round(sigmoid(classifier(z, c))) — see predict_probs."""
+        return jnp.round(self.predict_probs(params, x, key, temps,
+                                            deterministic))
 
     def classifier_accuracy(self, params, x, y, key, temps: Temps,
                             deterministic: bool = False):

@@ -77,6 +77,9 @@ class CheckpointManager:
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -258,6 +258,11 @@ class Trainer:
         # the reference's load_model('best') test protocol is honored.
         last_metric = history[-1]['val_metric'] if history else -np.inf
         self._save(param_dir, 'last', {'val_accuracy': last_metric})
+        if self.ckpt is not None:
+            # async save must land before the interpreter can exit (a
+            # --no-test run otherwise races Orbax's executor shutdown:
+            # 'cannot schedule new futures after shutdown')
+            self.ckpt.wait_until_finished()
         self.metrics.flush()
         return {'best_val_accuracy': best_val_acc,
                 'best_val_metric': best_metric, 'history': history,

@@ -33,4 +33,12 @@ def enable_persistent_compilation_cache(
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs',
                       min_compile_time_secs)
+    # the cache backend is a lazily-created singleton: if it was already
+    # initialized (for a different dir, or before the dir was set), the
+    # config update alone does not retarget it
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:
+        pass
     return cache_dir

@@ -81,9 +81,13 @@ def test_persistent_compilation_cache_populates(tmp_path):
     d = enable_persistent_compilation_cache(str(tmp_path / 'xla'),
                                             min_compile_time_secs=0.0)
     try:
+        # program must be unique within the test session: an HLO already
+        # compiled earlier is served from jax's in-memory cache and never
+        # reaches the persistent layer
         def f(x):
-            return (x @ x).sum()
-        jax.jit(f)(jnp.ones((128, 128))).block_until_ready()
+            return (x @ (x + 0.12345)).sum() * 7.654321
+        jax.jit(f)(jnp.ones((123, 123))).block_until_ready()
         assert os.listdir(d), 'no cache entry written'
     finally:
         jax.config.update('jax_compilation_cache_dir', None)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -17,10 +17,17 @@ def image_dir(tmp_path_factory):
     import PIL.Image
     d = tmp_path_factory.mktemp('imgs')
     rng = np.random.RandomState(0)
-    for i in range(5):
+    for i in range(3):
         PIL.Image.fromarray(
             rng.randint(0, 255, (218, 178, 3), dtype=np.uint8)
         ).save(d / f'im{i}.jpg', quality=90)
+    # arbitrary photo dirs include non-RGB modes — must decode to 3ch
+    PIL.Image.fromarray(
+        rng.randint(0, 255, (218, 178), dtype=np.uint8), mode='L'
+    ).save(d / 'gray.png')
+    PIL.Image.fromarray(
+        rng.randint(0, 255, (218, 178, 4), dtype=np.uint8), mode='RGBA'
+    ).save(d / 'rgba.png')
     return d
 
 
@@ -49,6 +56,18 @@ def test_infer_cli_from_reference_h5(image_dir, ref_param_dir, tmp_path):
     main(['--checkpoint', ref_param_dir, '--images', str(image_dir),
           '--output', str(out3), '--batch-size', '4', '--stochastic'])
     assert len(list(csv.reader(open(out3)))) == 6
+
+
+def test_pil_backend_decodes_non_rgb_to_3ch(image_dir):
+    """The PIL fallback path (hosts without cv2) must convert L/RGBA/P
+    modes to RGB — np.stack would otherwise fail on mixed shapes."""
+    from gltvae.data.celeba import ImageFolderDataset, _SplitData
+    names = sorted(os.listdir(image_dir))
+    ds = ImageFolderDataset(str(image_dir),
+                            _SplitData(names, np.zeros((len(names), 1))),
+                            64, backend='pil')
+    x, _ = ds.fetch(np.arange(len(names)))
+    assert x.shape == (len(names), 64, 64, 3) and x.dtype == np.uint8
 
 
 def test_init_from_h5_warm_start(ref_param_dir):

@@ -36,6 +36,16 @@ def parse_args(argv=None):
     p.add_argument('--output', default='predictions.csv')
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--image-size', type=int, default=64, choices=[64, 128])
+    p.add_argument('--gate-type', default='learnable',
+                   choices=['learnable', 'fixed'],
+                   help='must match the trained run for Orbax checkpoints '
+                        '(the optimizer-state tree differs between '
+                        'learnable and fixed gating)')
+    p.add_argument('--gate-subtype', default='inferred',
+                   choices=['one-one', 'inferred'])
+    p.add_argument('--num-workers', type=int, default=4,
+                   help='decode worker threads (overlap JPEG decode with '
+                        'device inference)')
     p.add_argument('--stochastic', action='store_true',
                    help='sampled z and gates (the reference eval protocol); '
                         'default is the deterministic mean-z/expected-gate '
@@ -51,7 +61,9 @@ def parse_args(argv=None):
 
 
 def load_params(args, model):
-    """Params pytree from either checkpoint layout."""
+    """Params pytree from either checkpoint layout. The restore template's
+    optimizer-state tree follows model.cfg.gate_type, so --gate-type must
+    match the trained run for Orbax checkpoints."""
     import jax
     ckpt = args.checkpoint
     if os.path.isdir(os.path.join(ckpt, 'orbax')):
@@ -62,8 +74,10 @@ def load_params(args, model):
         template = create_train_state(
             model, TrainConfig(), jax.random.key(0),
             mu_init=np.eye(c.z_classify, c.y_dim, dtype=np.float32))
-        state = CheckpointManager(os.path.join(ckpt, 'orbax')).restore(
-            template)
+        mgr = CheckpointManager(os.path.join(ckpt, 'orbax'))
+        # 'best' -> best_step (restore default); 'last' -> latest_step
+        step = mgr.latest_step() if args.model_id == 'last' else None
+        state = mgr.restore(template, step=step)
         return state.params
     from gltvae.utils.h5_import import load_reference_checkpoint
     mu = np.load(args.mu) if args.mu else None
@@ -71,23 +85,17 @@ def load_params(args, model):
 
 
 def make_predict(model, stochastic: bool, temp: float):
+    """One jitted call into the SHARED eval protocol
+    (CCVAE.predict_probs — the same path Trainer.evaluate rounds)."""
     import jax
     import jax.numpy as jnp
-    from gltvae.ops.sampling import (sample_normal, sample_gating,
-                                     sample_gating_deterministic)
+    from gltvae.models.ccvae import Temps
 
     def fn(params, x, key):
         x = x.astype(jnp.float32) / 255.0
-        locs, scales = model.encode(params, x)
-        if stochastic:
-            kz, kg = jax.random.split(key)
-            z = sample_normal(kz, locs, scales)
-            c = sample_gating(kg, params['mu'], jnp.float32(temp))
-        else:
-            z = locs
-            c = sample_gating_deterministic(params['mu'])
-        _, zc = model.split_z(z)
-        return jax.nn.sigmoid(model.classify(params, zc, c))
+        return model.predict_probs(params, x, key,
+                                   Temps(gating=jnp.float32(temp)),
+                                   deterministic=not stochastic)
 
     return jax.jit(fn)
 
@@ -103,7 +111,10 @@ def main(argv=None):
         enable_persistent_compilation_cache)
     enable_persistent_compilation_cache()
 
+    import dataclasses
     cfg = (celeba128()[0] if args.image_size == 128 else ModelConfig())
+    cfg = dataclasses.replace(cfg, gate_type=args.gate_type,
+                              gate_subtype=args.gate_subtype)
     model = CCVAE(cfg)
     params = load_params(args, model)
 
@@ -114,30 +125,39 @@ def main(argv=None):
     ds = ImageFolderDataset(args.images,
                             _SplitData(names, np.zeros((len(names), 1))),
                             cfg.image_size)
+    # worker-thread decode overlapping device inference; shuffle=False so
+    # batch order is names order, and the wrap-around tail padding keeps
+    # every dispatch on the one compiled shape (excess rows discarded)
+    from gltvae.data.pipeline import BatchLoader
+    loader = BatchLoader(ds, args.batch_size, shuffle=False,
+                         num_workers=args.num_workers)
     predict = make_predict(model, args.stochastic, args.temp)
     key = jax.random.key(args.seed)
 
     labels = (list(CELEBA_EASY_LABELS) if cfg.y_dim == 18
               else list(CELEBA_LABELS)[:cfg.y_dim])
-    bs = args.batch_size
+    it = iter(loader)
+    idx = 0
     with open(args.output, 'w', newline='') as f:
         w = csv.writer(f)
         w.writerow(['image_id'] + labels
                    + [f'p_{name}' for name in labels])
-        for start in range(0, len(names), bs):
-            idxs = np.arange(start, min(start + bs, len(names)))
-            x, _ = ds.fetch(idxs)
-            # pad the tail so every dispatch reuses the one compiled shape
-            pad = bs - len(idxs)
-            if pad:
-                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        for b in range(loader.epoch_batches):
+            x, _ = next(it)
             probs = np.asarray(jax.device_get(
-                predict(params, x, jax.random.fold_in(key, start))))
-            probs = probs[:len(idxs)]
-            for i, n in zip(range(len(idxs)), names[start:start + bs]):
-                hard = (probs[i] >= 0.5).astype(int)
-                w.writerow([n] + hard.tolist()
-                           + [f'{p:.4f}' for p in probs[i]])
+                predict(params, x, jax.random.fold_in(key, b))))
+            # threshold the ROUNDED values so the hard columns always
+            # agree with the probabilities as printed
+            p4 = np.round(probs, 4)
+            for row in range(len(p4)):
+                if idx >= len(names):
+                    break
+                hard = (p4[row] >= 0.5).astype(int)
+                w.writerow([names[idx]] + hard.tolist()
+                           + [f'{p:.4f}' for p in p4[row]])
+                idx += 1
+    if hasattr(it, 'close'):
+        it.close()
     print(f'{len(names)} images -> {args.output}')
     return args.output
 

@@ -186,8 +186,17 @@ def run(args, sup: float):
 
     if args.init_from_h5:
         from gltvae.utils.h5_import import load_reference_checkpoint
+        # fixed-mode h5 dirs carry no learned_gating_matrix npy; the μ
+        # fallback must match the gate scheme (one-one = identity,
+        # ccvae.py:108-109 — NOT the inferred co-occurrence matrix)
+        if args.gate_type == 'fixed' and args.gate_subtype == 'one-one':
+            from gltvae.ops.gating import identity_gating_matrix
+            fallback_mu = identity_gating_matrix(model_cfg.z_classify,
+                                                 model_cfg.y_dim)
+        else:
+            fallback_mu = mu_init
         trainer.load_params(load_reference_checkpoint(
-            args.init_from_h5, mu=mu_init))
+            args.init_from_h5, mu=fallback_mu))
         logger.info('warm-started from %s', args.init_from_h5)
 
     if args.do_train:
@@ -199,13 +208,15 @@ def run(args, sup: float):
     if args.do_test:
         # Test the BEST checkpoint (reference: load_model(param_dir,'best'),
         # gated_ccvae.py:531-533) — not the last training state.
-        try:
-            trainer.restore()
-        except FileNotFoundError:
-            if args.init_from_h5:
-                logger.info('no Orbax checkpoint; testing the --init-from-h5 '
-                            'weights directly')
-            else:
+        if args.init_from_h5 and not args.do_train:
+            # test-only warm start: the user asked for exactly these h5
+            # weights — do NOT let a stale Orbax checkpoint in the default
+            # param_dir silently replace them
+            logger.info('testing the --init-from-h5 weights directly')
+        else:
+            try:
+                trainer.restore()
+            except FileNotFoundError:
                 logger.warning('no checkpoint to restore; testing fresh init')
         acc = trainer.test(loaders['test'])
         logger.info('Test Accuracy (best model): %.3f', acc)
