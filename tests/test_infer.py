@@ -93,3 +93,35 @@ def test_init_from_h5_warm_start(ref_param_dir):
     state, m = trainer._sup_step(trainer.state, x, y, 1.0)
     assert np.isfinite(float(m['loss']))
     assert int(state.step) == 1
+
+
+def test_export_h5_cli_roundtrip(tmp_path):
+    """tools/export_h5.py: Orbax run dir -> reference-format .h5 set that
+    h5_import reads back bit-identically (train->reference interchange)."""
+    import jax
+    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.train.checkpoint import CheckpointManager
+    from gltvae.train.state import create_train_state
+    from gltvae.utils.h5_import import load_reference_checkpoint
+
+    rng = np.random.RandomState(0)
+    model = CCVAE(ModelConfig())
+    mu = rng.rand(18, 18).astype(np.float32)
+    state = create_train_state(model, TrainConfig(), jax.random.key(0),
+                               mu_init=mu)
+    run_dir = tmp_path / 'run'
+    mgr = CheckpointManager(str(run_dir / 'orbax'))
+    mgr.save(state, metrics={'val_accuracy': 0.5}, wait=True)
+    mgr.close()
+
+    from tools.export_h5 import main
+    out = tmp_path / 'exported'
+    main(['--checkpoint', str(run_dir), '--out', str(out)])
+    assert (out / 'encoder_model_best.h5').exists()
+    assert (out / 'learned_gating_matrix_best.csv').exists()
+
+    back = load_reference_checkpoint(str(out))
+    for a, b in zip(jax.tree.leaves(back),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
