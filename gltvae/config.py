@@ -148,6 +148,10 @@ class DataConfig:
     n_valid: int = 19867
     n_test: int = 19962
     use_easy_labels: bool = True     # 18 labels; False -> all 40 (128px config)
+    # Square center-crop before resize. False reproduces the reference's
+    # aspect-distorting direct resize (utils_data.py:57); the 128px CLI
+    # config turns it on (BASELINE north star names crop in the pipeline).
+    center_crop: bool = False
     prefetch_batches: int = 4
     num_workers: int = 8
     # Ship uint8 to device and normalize there (Pallas) instead of host f32.

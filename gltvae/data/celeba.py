@@ -212,6 +212,7 @@ class CelebAReader:
         for mode in modes:
             ds = ImageFolderDataset(image_dir, self.splits[mode],
                                     self.cfg.image_size,
+                                    center_crop=self.cfg.center_crop,
                                     host_resize=not self.cfg.device_resize)
             loaders[mode] = BatchLoader(
                 ds, self.batch_size, shuffle=True,

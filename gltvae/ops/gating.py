@@ -75,7 +75,16 @@ def gating_matrix_from_labels(
     if cache_dir is not None:
         cache_npy = os.path.join(cache_dir, f'gating_matrix_{sup_frac}.npy')
         if os.path.exists(cache_npy):
-            return np.load(cache_npy)
+            cached = np.load(cache_npy)
+            if cached.shape == (y_dim, y_dim):
+                return cached
+            # cache key is sup_frac only (reference protocol), so a run
+            # at a different label width (64px/18 vs 128px/40) would get
+            # a wrong-shaped μ — recompute and overwrite instead
+            import logging
+            logging.getLogger(__name__).warning(
+                'stale gating cache %s has shape %s, expected %s; '
+                'recomputing', cache_npy, cached.shape, (y_dim, y_dim))
 
     if sup_frac == 0.0 or sup_labels is None:
         mu = uniform_gating_matrix(y_dim)

@@ -62,6 +62,28 @@ def test_cli_trains_on_jpeg_dataset(celeba_root, tmp_path):
     np.testing.assert_allclose(np.diag(mu), 1.0)
 
 
+@pytest.mark.slow
+def test_cli_trains_128px_on_jpeg_dataset(celeba_root, tmp_path):
+    """BASELINE config 4 over real files: 40-attr labels, center-crop +
+    resize to 128, the deeper 5-stage deconv stack — end to end through
+    the CLI (the 128px config was previously trained only on synthetic
+    tensors)."""
+    import train as cli
+    out = tmp_path / 'models'
+    results = cli.main([
+        '--data-dir', str(celeba_root), '--output-dir', str(out),
+        '--do-train', '--epochs', '1', '-bs', '4', '--sup', '1.0',
+        '--image-size', '128',
+        '--n-train', '12', '--n-valid', '4', '--n-test', '4',
+        '--num-workers', '2', '--seed', '0',
+    ])
+    assert 0.0 <= results[1.0] <= 1.0
+    assert (out / 'params_1.0_learnable' / 'metrics.csv').exists()
+    # 40-label gating cache written (not the 18-label one)
+    mu = np.load(celeba_root / 'gating_matrix_1.0.npy')
+    assert mu.shape == (40, 40)
+
+
 def test_sup0_reader_builds_valid_loader(celeba_root):
     """sup=0.0 runs best-checkpoint on validation ELBO (train/loop.py), so
     the real-data reader must include the 'valid' loader — the reference

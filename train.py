@@ -126,6 +126,7 @@ def build_configs(args, sup):
     data_cfg = DataConfig(data_dir=args.data_dir,
                           image_size=args.image_size,
                           use_easy_labels=(args.image_size == 64),
+                          center_crop=(args.image_size == 128),
                           num_workers=args.num_workers,
                           **split_overrides)
     return model_cfg, train_cfg, data_cfg
