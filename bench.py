@@ -151,7 +151,7 @@ def _compiled_analyses(jitted, args, secs_per_step):
     return hbm, roof
 
 
-def bench_eval(batch_size: int, iters: int = 10, scan: int = 32):
+def bench_eval(batch_size: int, iters: int = 30, scan: int = 32):
     """Stochastic eval throughput via the scanned eval path — the same
     make_scan_eval_step Trainer.evaluate dispatches (reference baseline:
     ~400-450 img/s, BASELINE.md eval rows). Round 1 measured the
