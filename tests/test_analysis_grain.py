@@ -84,3 +84,30 @@ class TestGrainLoader:
             shard_options=grain.ShardOptions(shard_index=0, shard_count=2))
         x, y = next(iter(loader))
         assert x.shape == (2, 32, 32, 3)
+
+
+def test_metrics_summary_tool(tmp_path):
+    """tools/metrics_summary.py folds a Trainer metrics.csv into per-epoch
+    aggregates (the reference has no machine-readable training record)."""
+    import csv as _csv
+    path = tmp_path / 'metrics.csv'
+    cols = ['c_sum', 'elbo', 'epoch', 'kl', 'log_pxz', 'log_qy_x',
+            'log_qy_zc', 'loss', 'step', 'supervised', 'time']
+    with open(path, 'w', newline='') as f:
+        w = _csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        for ep in range(3):
+            for s in range(2):
+                w.writerow({'c_sum': 10 + ep, 'elbo': -100 - ep,
+                            'epoch': ep, 'kl': 5.0, 'log_pxz': -90,
+                            'log_qy_x': -1, 'log_qy_zc': -2,
+                            'loss': 100 + ep, 'step': ep * 2 + s,
+                            'supervised': 1, 'time': 0.0})
+    from tools.metrics_summary import main
+    epochs = main([str(path)])
+    assert [e['epoch'] for e in epochs] == [0, 1, 2]
+    assert epochs[0]['n'] == 2
+    np.testing.assert_allclose(epochs[2]['loss'], 102.0)
+    png = tmp_path / 'c.png'
+    main([str(path), '--plot', str(png)])
+    assert png.exists()
