@@ -176,6 +176,7 @@ def default_celeba64(gate_type: str = 'learnable',
 
 
 def celeba128(gate_type: str = 'learnable', sup: float = 1.0,
+              gate_subtype: str = 'inferred',
               **overrides) -> tuple[ModelConfig, TrainConfig]:
     """128x128, full 40-attribute label space, widened latent
     (BASELINE.json config 4). One extra stride-2 stage keeps the final
@@ -189,6 +190,7 @@ def celeba128(gate_type: str = 'learnable', sup: float = 1.0,
         dec_features=(256, 128, 64, 32, 32),
         dec_hidden=256,
         gate_type=gate_type,
+        gate_subtype=gate_subtype,
     )
     train = TrainConfig(perc_supervision=sup, **overrides)
     return model, train

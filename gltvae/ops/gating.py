@@ -73,14 +73,19 @@ def gating_matrix_from_labels(
     """
     cache_npy = None
     if cache_dir is not None:
-        cache_npy = os.path.join(cache_dir, f'gating_matrix_{sup_frac}.npy')
+        # 18-label runs use the reference's exact cache filename
+        # (utils_data.py:166-172, consumed by its TF code with NO shape
+        # check); other label widths (the 40-attr 128px config) get a
+        # width-suffixed name so the two protocols never clobber or
+        # poison each other's cache in a shared data dir.
+        stem = (f'gating_matrix_{sup_frac}' if y_dim == 18
+                else f'gating_matrix_{sup_frac}_{y_dim}')
+        cache_npy = os.path.join(cache_dir, f'{stem}.npy')
         if os.path.exists(cache_npy):
             cached = np.load(cache_npy)
             if cached.shape == (y_dim, y_dim):
                 return cached
-            # cache key is sup_frac only (reference protocol), so a run
-            # at a different label width (64px/18 vs 128px/40) would get
-            # a wrong-shaped μ — recompute and overwrite instead
+            # wrong-shaped stale file (e.g. written by pre-suffix code)
             import logging
             logging.getLogger(__name__).warning(
                 'stale gating cache %s has shape %s, expected %s; '
@@ -100,7 +105,7 @@ def gating_matrix_from_labels(
         if label_names is not None:
             _save_labeled_csv(
                 mu, label_names,
-                os.path.join(cache_dir, f'gating_matrix_{sup_frac}.csv'))
+                os.path.join(cache_dir, f'{stem}.csv'))
     return mu
 
 

@@ -24,9 +24,12 @@ class MetricsLogger:
         self.flush_every = flush_every
         self._pending: List[Dict] = []   # values may be device arrays
         self._rows: List[Dict] = []
-        self._header_written = False
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        # a resumed run appends to the existing CSV — only write the
+        # header once per FILE, not once per process
+        self._header_written = bool(path and os.path.exists(path)
+                                    and os.path.getsize(path) > 0)
 
     def log(self, step: int, metrics: Dict, **extra):
         """Queue device scalars WITHOUT syncing; they are fetched at flush."""

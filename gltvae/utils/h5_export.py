@@ -86,9 +86,13 @@ def export_cond_prior(params: dict, path: str):
 
 
 def export_reference_checkpoint(params: dict, param_dir: str,
-                                model_id: str = 'best'):
+                                model_id: str = 'best',
+                                label_names=None):
     """Write the full per-submodel h5 set the reference's load_model
-    expects (gated_ccvae.py:146-165)."""
+    expects (gated_ccvae.py:146-165). This function is the single owner
+    of the μ artifacts: the npy always, plus the labeled CSV when
+    `label_names` is given (the reference writes both,
+    gated_ccvae.py:395-401)."""
     import jax
     params = jax.device_get(params)
     os.makedirs(param_dir, exist_ok=True)
@@ -100,6 +104,10 @@ def export_reference_checkpoint(params: dict, param_dir: str,
                       os.path.join(param_dir, f'classifier_{model_id}.h5'))
     export_cond_prior(params['cond_prior'],
                       os.path.join(param_dir, f'cond_prior_{model_id}.h5'))
-    np.save(os.path.join(param_dir,
-                         f'learned_gating_matrix_{model_id}.npy'),
-            np.asarray(params['mu'], np.float32))
+    if label_names is not None:
+        from gltvae.train.checkpoint import export_gating_matrix
+        export_gating_matrix(params['mu'], param_dir, model_id, label_names)
+    else:
+        np.save(os.path.join(param_dir,
+                             f'learned_gating_matrix_{model_id}.npy'),
+                np.asarray(params['mu'], np.float32))

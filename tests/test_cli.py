@@ -91,3 +91,14 @@ def test_persistent_compilation_cache_populates(tmp_path):
     finally:
         jax.config.update('jax_compilation_cache_dir', None)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
+def test_128px_configs_carry_gate_subtype():
+    """celeba128 must thread gate_subtype through: a fixed/one-one 128px
+    run previously trained a fixed/inferred model under the one-one dir
+    name (mu = co-occurrence instead of identity)."""
+    a = cli.parse_args(['--image-size', '128', '--gate-type', 'fixed',
+                        '--gate-subtype', 'one-one'])
+    m, _, _ = cli.build_configs(a, sup=1.0)
+    assert m.gate_type == 'fixed' and m.gate_subtype == 'one-one'
+    assert m.y_dim == 40

@@ -79,8 +79,9 @@ def test_cli_trains_128px_on_jpeg_dataset(celeba_root, tmp_path):
     ])
     assert 0.0 <= results[1.0] <= 1.0
     assert (out / 'params_1.0_learnable' / 'metrics.csv').exists()
-    # 40-label gating cache written (not the 18-label one)
-    mu = np.load(celeba_root / 'gating_matrix_1.0.npy')
+    # 40-label gating cache written under the width-suffixed name so it
+    # can never poison the reference-protocol 18-label cache
+    mu = np.load(celeba_root / 'gating_matrix_1.0_40.npy')
     assert mu.shape == (40, 40)
 
 

@@ -43,7 +43,6 @@ def main(argv=None):
                                CELEBA_EASY_LABELS)
     from gltvae.models.ccvae import CCVAE
     from gltvae.utils.h5_export import export_reference_checkpoint
-    from gltvae.train.checkpoint import export_gating_matrix
     from tools.infer import load_params
 
     if not os.path.isdir(os.path.join(args.checkpoint, 'orbax')):
@@ -58,10 +57,10 @@ def main(argv=None):
     params = load_params(args, model)
 
     out = args.out or args.checkpoint
-    export_reference_checkpoint(params, out, args.model_id)
     names = (CELEBA_EASY_LABELS if cfg.y_dim == len(CELEBA_EASY_LABELS)
              else list(CELEBA_LABELS)[:cfg.y_dim])
-    export_gating_matrix(params['mu'], out, args.model_id, names)
+    export_reference_checkpoint(params, out, args.model_id,
+                                label_names=names)
     print(f'exported {args.model_id} -> {out}')
     return out
 

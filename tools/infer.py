@@ -122,9 +122,12 @@ def main(argv=None):
                    if f.lower().endswith(('.jpg', '.jpeg', '.png')))
     if not names:
         raise SystemExit(f'no images found in {args.images}')
+    # preprocessing must match training: train.py center-crops for 128px
+    # models and direct-resizes (reference quirk) for 64px
     ds = ImageFolderDataset(args.images,
                             _SplitData(names, np.zeros((len(names), 1))),
-                            cfg.image_size)
+                            cfg.image_size,
+                            center_crop=(args.image_size == 128))
     # worker-thread decode overlapping device inference; shuffle=False so
     # batch order is names order, and the wrap-around tail padding keeps
     # every dispatch on the one compiled shape (excess rows discarded)

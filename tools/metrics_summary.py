@@ -28,6 +28,9 @@ COLS = ('loss', 'elbo', 'log_pxz', 'kl', 'log_qy_zc', 'log_qy_x', 'c_sum')
 def load(path):
     with open(path) as f:
         rows = list(csv.DictReader(f))
+    # CSVs written before the once-per-file header fix carry a repeated
+    # header line at each resume point — drop those rows
+    rows = [r for r in rows if r.get('epoch') != 'epoch']
     if not rows:
         raise SystemExit(f'{path} is empty')
     return rows

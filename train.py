@@ -108,7 +108,8 @@ def build_configs(args, sup):
     import dataclasses
     from gltvae.config import ModelConfig, TrainConfig, DataConfig, celeba128
     if args.image_size == 128:
-        model_cfg, _ = celeba128(gate_type=args.gate_type, sup=sup)
+        model_cfg, _ = celeba128(gate_type=args.gate_type, sup=sup,
+                                 gate_subtype=args.gate_subtype)
         model_cfg = dataclasses.replace(model_cfg,
                                         compute_dtype=args.compute_dtype)
     else:
