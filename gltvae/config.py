@@ -154,6 +154,12 @@ class DataConfig:
     center_crop: bool = False
     prefetch_batches: int = 4
     num_workers: int = 8
+    # Host decode backend: 'auto' picks cv2 (fastest pure-Python) with a
+    # PIL fallback; 'native' is the C++ libjpeg pool (native/loader.cpp,
+    # decodes a whole batch in parallel outside the GIL); 'grain' is the
+    # Google Grain pipeline (deterministic, process-parallel,
+    # host-shardable for multi-host DP).
+    decode_backend: str = 'auto'
     # Ship uint8 to device and normalize there (Pallas) instead of host f32.
     device_preprocess: bool = True
     # Ship full-resolution uint8 (178x218 CelebA) and bilinear-resize on
@@ -163,6 +169,38 @@ class DataConfig:
     # default. (BASELINE.json north star: decode+crop+resize+normalize
     # fused on device.)
     device_resize: bool = False
+
+
+MODEL_CONFIG_FILENAME = 'model_config.json'
+
+
+def save_model_config(cfg: ModelConfig, run_dir: str) -> str:
+    """Persist the ModelConfig next to a run's checkpoints so offline tools
+    (tools/infer.py, tools/export_h5.py) can rebuild the exact restore
+    template — a non-default --z-dim otherwise surfaces as an opaque Orbax
+    tree-mismatch error."""
+    import json
+    import os
+    path = os.path.join(run_dir, MODEL_CONFIG_FILENAME)
+    with open(path, 'w') as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
+    return path
+
+
+def load_model_config(run_dir: str) -> Optional[ModelConfig]:
+    """ModelConfig recorded by train.py in `run_dir`, or None if absent
+    (pre-round-3 runs; callers fall back to CLI flags)."""
+    import json
+    import os
+    path = os.path.join(run_dir, MODEL_CONFIG_FILENAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    for k in ('enc_features', 'dec_features'):
+        if k in d and d[k] is not None:
+            d[k] = tuple(d[k])
+    return ModelConfig(**d)
 
 
 def default_celeba64(gate_type: str = 'learnable',

@@ -208,15 +208,47 @@ class CelebAReader:
         else:
             modes = ['unsup', 'test', 'sup', 'valid']
         image_dir = os.path.join(self.cfg.data_dir, self.cfg.image_dir)
-        loaders = {}
-        for mode in modes:
-            ds = ImageFolderDataset(image_dir, self.splits[mode],
-                                    self.cfg.image_size,
-                                    center_crop=self.cfg.center_crop,
-                                    host_resize=not self.cfg.device_resize)
-            loaders[mode] = BatchLoader(
-                ds, self.batch_size, shuffle=True,
-                reshuffle_each_epoch=self.reshuffle, seed=self.seed,
+        backend = self.cfg.decode_backend
+        if backend == 'native' and self.cfg.device_resize:
+            raise ValueError('decode_backend=native always resizes on the '
+                             'host (the C++ pool decodes straight into the '
+                             'target-size buffer); drop device_resize or '
+                             'use cv2/pil')
+        return {mode: self._make_loader(mode, image_dir, backend)
+                for mode in modes}
+
+    def _make_loader(self, mode: str, image_dir: str, backend: str):
+        """One split -> loader, routed by decode backend. All backends
+        yield identical (uint8 [B,S,S,3], f32 [B,y]) batches; the choice
+        is purely a host-throughput knob (the reference's single-threaded
+        PIL decode, utils_data.py:48-63, was its data bottleneck)."""
+        split = self.splits[mode]
+        if backend == 'grain':
+            from gltvae.data import grain_loader
+            if not grain_loader.is_available():
+                raise RuntimeError('decode_backend=grain: grain is not '
+                                   'installed')
+            return grain_loader.make_grain_loader(
+                image_dir, split.ids, split.labels,
+                batch_size=self.batch_size,
+                image_size=self.cfg.image_size, seed=self.seed,
                 num_workers=self.num_workers,
-                prefetch=self.cfg.prefetch_batches)
-        return loaders
+                center_crop=self.cfg.center_crop)
+        if backend == 'native':
+            from gltvae.data.native_loader import NativeImageFolderDataset
+            ds = NativeImageFolderDataset(
+                image_dir, split, self.cfg.image_size,
+                center_crop=self.cfg.center_crop,
+                num_threads=self.num_workers)
+        else:
+            ds = ImageFolderDataset(image_dir, split, self.cfg.image_size,
+                                    center_crop=self.cfg.center_crop,
+                                    backend=backend,
+                                    host_resize=not self.cfg.device_resize)
+        return BatchLoader(
+            ds, self.batch_size, shuffle=True,
+            reshuffle_each_epoch=self.reshuffle, seed=self.seed,
+            # the native pool parallelizes INSIDE fetch(); one loader
+            # worker thread just keeps prefetch ahead of the device
+            num_workers=1 if backend == 'native' else self.num_workers,
+            prefetch=self.cfg.prefetch_batches)

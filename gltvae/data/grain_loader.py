@@ -61,6 +61,7 @@ def make_grain_loader(image_dir: str, ids, labels, *, batch_size: int,
                       image_size: int = 64, seed: int = 0,
                       shuffle: bool = True,
                       num_workers: int = 0,
+                      center_crop: bool = False,
                       shard_options=None,
                       drop_remainder: bool = False):
     """grain.DatasetIterator yielding (uint8 [B,H,W,3], f32 [B,y]) batches,
@@ -68,7 +69,8 @@ def make_grain_loader(image_dir: str, ids, labels, *, batch_size: int,
     gltvae.data.pipeline.BatchLoader)."""
     if not _GRAIN:
         raise RuntimeError('grain is not installed')
-    source = _DecodeMap(image_dir, ids, labels, image_size)
+    source = _DecodeMap(image_dir, ids, labels, image_size,
+                        center_crop=center_crop)
     ds = grain.MapDataset.source(source)
     if shard_options is not None:
         ds = ds[shard_options.shard_index::shard_options.shard_count]

@@ -10,9 +10,14 @@ co-occurrence counts are LᵀL with the diagonal removed, normalized by N⁺
 (the number of samples with ≥1 positive label — the reference's np.nonzero
 grouping drops all-zero rows), diagonal set to 1. Verified
 element-for-element against the reference algorithm in tests/test_gating.py.
-NOTE: cached gating_matrix_{sup}.npy files short-circuit recomputation
-(gating_matrix_from_labels), so matrices cached by any divergent earlier
-code must be deleted to pick up this normalization.
+
+Cache protocol: gating_matrix_{sup}.npy short-circuits recomputation
+(reference utils_data.py:147-176). Caches written by this code carry a
+content-hash sidecar ({stem}.npy.sha256); a cache with no sidecar (written
+by the TF reference, by pre-sidecar code, or hand-placed) is verified
+against a fresh recomputation — adopted silently when they agree, used
+with a prominent warning when they differ (the reference treats the cache
+as authoritative, so we do not clobber it; delete the file to recompute).
 """
 
 from __future__ import annotations
@@ -71,6 +76,14 @@ def gating_matrix_from_labels(
     cached; else compute from sup+valid labels (the reference's mild
     valid-set leak, kept for parity), save npy + labeled csv.
     """
+    def _compute() -> np.ndarray:
+        if sup_frac == 0.0 or sup_labels is None:
+            return uniform_gating_matrix(y_dim)
+        parts = [sup_labels]
+        if valid_labels is not None:
+            parts.append(valid_labels)
+        return cooccurrence_gating_matrix(np.concatenate(parts, axis=0))
+
     cache_npy = None
     if cache_dir is not None:
         # 18-label runs use the reference's exact cache filename
@@ -82,31 +95,63 @@ def gating_matrix_from_labels(
                 else f'gating_matrix_{sup_frac}_{y_dim}')
         cache_npy = os.path.join(cache_dir, f'{stem}.npy')
         if os.path.exists(cache_npy):
-            cached = np.load(cache_npy)
-            if cached.shape == (y_dim, y_dim):
-                return cached
-            # wrong-shaped stale file (e.g. written by pre-suffix code)
             import logging
-            logging.getLogger(__name__).warning(
-                'stale gating cache %s has shape %s, expected %s; '
-                'recomputing', cache_npy, cached.shape, (y_dim, y_dim))
+            log = logging.getLogger(__name__)
+            cached = np.load(cache_npy)
+            if cached.shape != (y_dim, y_dim):
+                # wrong-shaped stale file (e.g. written by pre-suffix code)
+                log.warning('stale gating cache %s has shape %s, expected '
+                            '%s; recomputing', cache_npy, cached.shape,
+                            (y_dim, y_dim))
+            elif _sidecar_valid(cache_npy):
+                return cached          # written by this code: trust it
+            else:
+                # Unmarked cache: TF reference, pre-sidecar repo code (a
+                # round-1 /N-normalized matrix would silently diverge from
+                # the reference init), or hand-placed. Verify against a
+                # fresh recomputation.
+                mu = _compute()
+                if np.allclose(cached, mu, atol=1e-8):
+                    _write_sidecar(cache_npy)
+                    return cached
+                log.warning(
+                    'cached gating matrix %s does NOT match recomputation '
+                    'from the current labels (max |Δ|=%.3g) — it was '
+                    'written by divergent code or different data. Using '
+                    'the cache for reference-protocol parity; delete the '
+                    'file to recompute.', cache_npy,
+                    float(np.abs(cached - mu).max()))
+                return cached
 
-    if sup_frac == 0.0 or sup_labels is None:
-        mu = uniform_gating_matrix(y_dim)
-    else:
-        parts = [sup_labels]
-        if valid_labels is not None:
-            parts.append(valid_labels)
-        mu = cooccurrence_gating_matrix(np.concatenate(parts, axis=0))
-
+    mu = _compute()
     if cache_npy is not None:
         os.makedirs(cache_dir, exist_ok=True)
         np.save(cache_npy, mu)
+        _write_sidecar(cache_npy)
         if label_names is not None:
             _save_labeled_csv(
                 mu, label_names,
                 os.path.join(cache_dir, f'{stem}.csv'))
     return mu
+
+
+def _npy_sha256(path: str) -> str:
+    import hashlib
+    with open(path, 'rb') as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _write_sidecar(cache_npy: str) -> None:
+    with open(cache_npy + '.sha256', 'w') as f:
+        f.write(_npy_sha256(cache_npy) + '\n')
+
+
+def _sidecar_valid(cache_npy: str) -> bool:
+    side = cache_npy + '.sha256'
+    if not os.path.exists(side):
+        return False
+    with open(side) as f:
+        return f.read().strip() == _npy_sha256(cache_npy)
 
 
 def _save_labeled_csv(mu: np.ndarray, label_names: Sequence[str], path: str):

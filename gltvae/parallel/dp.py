@@ -126,6 +126,43 @@ def make_parallel_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
     return jax.jit(sup, **kwargs), jax.jit(unsup, **kwargs)
 
 
+def make_parallel_mixed_scan_train_step(model: CCVAE,
+                                        train_cfg: TrainConfig,
+                                        mesh: Mesh,
+                                        donate: bool = True) -> Callable:
+    """Mixed (semi-supervised interleave) scan step on the mesh: stacked
+    batches sharded P(None, 'data'), the per-step sup mask replicated.
+    The lax.cond branches carry identical gradient-psum patterns, so the
+    SPMD partitioner emits one collective schedule for both."""
+    fn = _steps.make_mixed_scan_train_step(model, train_cfg, jit=False)
+    repl = replicated_sharding(mesh)
+    bsh = stacked_batch_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, bsh, bsh, repl, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_parallel_scan_elbo_step(model: CCVAE, train_cfg: TrainConfig,
+                                 mesh: Mesh) -> Callable:
+    """Scan test-ELBO meter on the mesh (batches sharded, keys/params
+    replicated, per-batch ELBOs replicated back)."""
+    fn = _steps.make_scan_elbo_step(model, train_cfg, jit=False)
+    repl = replicated_sharding(mesh)
+    bsh = stacked_batch_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, bsh, repl, repl),
+                   out_shardings=repl)
+
+
+def make_parallel_elbo_step(model: CCVAE, train_cfg: TrainConfig,
+                            mesh: Mesh) -> Callable:
+    """Per-batch test-ELBO meter on the mesh."""
+    fn = _steps.make_elbo_eval_step(model, train_cfg, jit=False)
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, bsh, repl, repl),
+                   out_shardings=repl)
+
+
 def make_parallel_eval_step(model: CCVAE, train_cfg: TrainConfig,
                             mesh: Mesh) -> Callable:
     ev = _steps.make_eval_step(model, train_cfg, jit=False)

@@ -5,8 +5,8 @@ backend at all (SURVEY.md §2: no NCCL/MPI/tf.distribute). Here scaling is
 expressed the JAX way: a 1-D `Mesh` over the chips of a slice (gradient
 all-reduce rides ICI), extended to multi-host over DCN via
 `jax.distributed.initialize`. XLA inserts the psum — there is no hand-rolled
-collective in the data-parallel path (Pallas ring collectives exist in
-ops/pallas for the kernel-level story).
+collective anywhere in the framework; for a DP-only workload XLA's own
+all-reduce is already the right schedule.
 
 The model is ~1M params (BASELINE.md), so DP over the batch is the only
 profitable axis; TP/PP/EP/SP are declared out of scope (SURVEY.md §2) —

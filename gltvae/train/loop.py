@@ -51,6 +51,7 @@ class Trainer:
                  mesh=None,
                  checkpoint_dir: Optional[str] = None,
                  metrics_path: Optional[str] = None,
+                 tensorboard_dir: Optional[str] = None,
                  nan_check_every: int = 50,
                  steps_per_dispatch: int = 1):
         self.model = CCVAE(model_cfg)
@@ -66,6 +67,7 @@ class Trainer:
         self.state = create_train_state(self.model, train_cfg, key,
                                         mu_init=mu_init)
         self._scan_sup = self._scan_unsup = self._scan_eval = None
+        self._mixed_scan_fn = None
         if mesh is not None:
             from gltvae.parallel.dp import (make_parallel_train_steps,
                                             make_parallel_scan_train_steps,
@@ -103,7 +105,8 @@ class Trainer:
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
         self._steps_saved: set = set()  # steps persisted by THIS run
-        self.metrics = MetricsLogger(metrics_path)
+        self.metrics = MetricsLogger(metrics_path,
+                                     tensorboard_dir=tensorboard_dir)
         self.throughput = Throughput()
         self._eval_key = jax.random.key(train_cfg.seed + 1)
 
@@ -138,6 +141,34 @@ class Trainer:
             return math.ceil(loaders['unsup'].n_s / bs), 0, 0
         raise ValueError(f'bad supervision fraction {sup}')
 
+    @staticmethod
+    def _schedule_flags(total: int, period: int, sup_batches: int):
+        """The reference's sup/unsup interleave (gated_ccvae.py:320-334)
+        materialized as a static per-epoch bool list: step i is supervised
+        iff i % period == 0 and the supervised quota is unspent. Being
+        static is what lets whole chunks of it compile into one scanned
+        XLA program (make_mixed_scan_train_step)."""
+        flags, ctr = [], 0
+        for i in range(total):
+            f = period > 0 and i % period == 0 and ctr < sup_batches
+            ctr += int(f)
+            flags.append(bool(f))
+        return flags
+
+    def _get_mixed_scan(self):
+        """Lazily-compiled mixed-schedule scan step (semi-sup runs only)."""
+        if self._mixed_scan_fn is None:
+            if self.mesh is not None:
+                from gltvae.parallel.dp import (
+                    make_parallel_mixed_scan_train_step)
+                self._mixed_scan_fn = make_parallel_mixed_scan_train_step(
+                    self.model, self.cfg, self.mesh)
+            else:
+                from gltvae.train.steps import make_mixed_scan_train_step
+                self._mixed_scan_fn = make_mixed_scan_train_step(
+                    self.model, self.cfg)
+        return self._mixed_scan_fn
+
     # ------------------------------- train -------------------------------
     def train(self, loaders: Dict, param_dir: Optional[str] = None,
               epochs: Optional[int] = None,
@@ -158,6 +189,12 @@ class Trainer:
             # gated_ccvae.py:388-419).
             self.state = self.ckpt.restore(self.state,
                                            step=self.ckpt.latest_step())
+            # The restored step already exists on disk with its recorded
+            # metrics; if no training happens (run already complete), the
+            # final _save('last') must NOT delete/re-save it — the re-save
+            # would drop the stored val_accuracy and let Orbax's
+            # best_fn-driven GC collect the run's best state.
+            self._steps_saved.add(int(self.state.step))
             total, _, _ = self.epoch_schedule(loaders)
             start_epoch = int(self.state.step) // total
             if self.model.cfg.gate_type == 'learnable':
@@ -169,58 +206,73 @@ class Trainer:
 
         for epoch in range(start_epoch, epochs):
             total, period, sup_batches = self.epoch_schedule(loaders)
+            flags = self._schedule_flags(total, period, sup_batches)
             sup_iter = iter(loaders['sup']) if 'sup' in loaders else None
             unsup_iter = (iter(loaders['unsup'])
                           if 'unsup' in loaders else None)
-            ctr_sup = 0
             pending_gates = []
             t_epoch = time.perf_counter()
 
-            # scanning is only valid when every batch in a chunk is the
-            # same kind: fully supervised (period==1) or fully
-            # unsupervised (period==0)
-            can_scan = (self._scan_sup is not None and period <= 1)
+            scan_on = self._scan_sup is not None
+            # semi-sup interleaves (period >= 2, i.e. sup <= 0.5 — the
+            # paper's headline schedules) dispatch whole mixed chunks
+            # through the lax.cond scan; uniform/period<=1 schedules keep
+            # the cheaper single-kind scans
+            mixed = scan_on and period > 1
             i = 0
             while i < total:
-                is_sup = (period > 0 and i % period == 0
-                          and ctr_sup < sup_batches)
-                n = min(self.steps_per_dispatch, total - i) if can_scan else 1
-                if is_sup:
-                    # period==1 admits semi-sup schedules (sup_frac > 0.5);
-                    # a chunk is classified once, so cap it at the remaining
-                    # supervised quota to keep the reference schedule exact
-                    n = min(n, sup_batches - ctr_sup)
-                it = sup_iter if is_sup else unsup_iter
+                n = min(self.steps_per_dispatch, total - i) if scan_on else 1
+                chunk = flags[i:i + n]
+                if not mixed and n > 1:
+                    # single-kind scans need a uniform chunk; stop at the
+                    # first kind flip (a period==1 semi-sup schedule flips
+                    # once per epoch when the sup quota is spent)
+                    run = 1
+                    while run < n and chunk[run] == chunk[0]:
+                        run += 1
+                    n, chunk = run, chunk[:run]
                 if n > 1:
-                    bx, by = zip(*(next(it) for _ in range(n)))
+                    bx, by = zip(*(next(sup_iter if f else unsup_iter)
+                                   for f in chunk))
                     xs, ys = self._place_stacked((np.stack(bx),
                                                   np.stack(by)))
-                    step_fn = self._scan_sup if is_sup else self._scan_unsup
-                    self.state, ms = step_fn(self.state, xs, ys,
-                                             self.gating_temp)
-                    m = {k: v[-1] for k, v in ms.items()}  # lazy device idx
-                    m['c_nan'] = ms['c_nan'].any()  # over the whole chunk
+                    if mixed:
+                        self.state, ms = self._get_mixed_scan()(
+                            self.state, xs, ys,
+                            np.asarray(chunk, dtype=bool), self.gating_temp)
+                    else:
+                        step_fn = (self._scan_sup if chunk[0]
+                                   else self._scan_unsup)
+                        self.state, ms = step_fn(self.state, xs, ys,
+                                                 self.gating_temp)
+                    nan_flag = ms['c_nan'].any()  # over the whole chunk
                     self.throughput.step(n * bx[0].shape[0])
                 else:
-                    x, y = self._place(next(it))
-                    step_fn = self._sup_step if is_sup else self._unsup_step
-                    self.state, m = step_fn(self.state, x, y,
-                                            self.gating_temp)
+                    x, y = self._place(
+                        next(sup_iter if chunk[0] else unsup_iter))
+                    step_fn = (self._sup_step if chunk[0]
+                               else self._unsup_step)
+                    self.state, ms = step_fn(self.state, x, y,
+                                             self.gating_temp)
+                    nan_flag = ms['c_nan']
                     self.throughput.step(len(x))
-                if is_sup:
-                    ctr_sup += n
+                pending_gates.append(nan_flag)
+                # Full-fidelity metrics: every inner step on the log_every
+                # cadence gets its OWN row (lazy device indexing, no sync),
+                # so metrics.csv is identical for any steps_per_dispatch.
+                for j in range(n):
+                    if (i + j) % log_every == 0:
+                        self.metrics.log(
+                            int(i + j + epoch * total),
+                            {k: (v[j] if n > 1 else v)
+                             for k, v in ms.items() if k != 'c_nan'},
+                            epoch=epoch, supervised=int(chunk[j]))
                 i += n
-                pending_gates.append(m['c_nan'])
                 if i % self.nan_check_every < n or i == total:
                     if any(np.any(v) for v in jax.device_get(pending_gates)):
                         raise NanGateError(
                             f'NaN gates at epoch {epoch} step {i}')
                     pending_gates.clear()
-                if (i - n) % log_every < n:
-                    self.metrics.log(int(i - n + epoch * total),
-                                     {k: v for k, v in m.items()
-                                      if k != 'c_nan'},
-                                     epoch=epoch, supervised=int(is_sup))
 
             # ----------------------- validation -----------------------
             # Best-checkpoint criterion: validation accuracy (reference
@@ -328,18 +380,54 @@ class Trainer:
 
     def test_elbo(self, loader, gating_temp: Optional[float] = None) -> float:
         """Mean unsupervised test ELBO — the BASELINE 'matched test ELBO'
-        meter (framework addition; the reference reports only accuracy)."""
-        from gltvae.train.steps import make_elbo_eval_step
+        meter (framework addition; the reference reports only accuracy).
+
+        With steps_per_dispatch>1 batches chunk through the scan-ELBO step
+        (one dispatch per chunk) — a sup=0.0 run evaluates this on the
+        whole valid split every epoch, so it must not be per-dispatch
+        bound. Key sequence and per-batch values identical to the
+        per-batch path."""
         if not hasattr(self, '_elbo_step'):
-            self._elbo_step = make_elbo_eval_step(self.model, self.cfg)
+            if self.mesh is not None:
+                from gltvae.parallel.dp import (make_parallel_elbo_step,
+                                                make_parallel_scan_elbo_step)
+                self._elbo_step = make_parallel_elbo_step(
+                    self.model, self.cfg, self.mesh)
+                self._scan_elbo = (
+                    make_parallel_scan_elbo_step(self.model, self.cfg,
+                                                 self.mesh)
+                    if self.steps_per_dispatch > 1 else None)
+            else:
+                from gltvae.train.steps import (make_elbo_eval_step,
+                                                make_scan_elbo_step)
+                self._elbo_step = make_elbo_eval_step(self.model, self.cfg)
+                self._scan_elbo = (
+                    make_scan_elbo_step(self.model, self.cfg)
+                    if self.steps_per_dispatch > 1 else None)
         temp = self.gating_temp if gating_temp is None else gating_temp
+        n_batches = loader.epoch_batches
         it = iter(loader)
         vals = []
-        for _ in range(loader.epoch_batches):
-            x, _ = self._place(next(it))
-            self._eval_key, sub = jax.random.split(self._eval_key)
-            vals.append(self._elbo_step(self.state.params, x, sub, temp))
-        return float(np.mean(jax.device_get(vals)))
+        chunk = self.steps_per_dispatch if self._scan_elbo is not None else 1
+        i = 0
+        while i < n_batches:
+            n = min(chunk, n_batches - i)
+            if n > 1:
+                bx = [next(it)[0] for _ in range(n)]
+                subs = []
+                for _ in range(n):
+                    self._eval_key, sub = jax.random.split(self._eval_key)
+                    subs.append(sub)
+                xs = self._place_stacked(np.stack(bx))
+                vals.append(self._scan_elbo(self.state.params, xs,
+                                            jnp.stack(subs), temp))
+            else:
+                x, _ = self._place(next(it))
+                self._eval_key, sub = jax.random.split(self._eval_key)
+                vals.append(self._elbo_step(self.state.params, x, sub, temp))
+            i += n
+        vals = [np.atleast_1d(v) for v in jax.device_get(vals)]
+        return float(np.mean(np.concatenate(vals)))
 
     def restore(self, step: Optional[int] = None):
         if self.ckpt is None:

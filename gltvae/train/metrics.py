@@ -19,7 +19,8 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str] = None, flush_every: int = 50):
+    def __init__(self, path: Optional[str] = None, flush_every: int = 50,
+                 tensorboard_dir: Optional[str] = None):
         self.path = path
         self.flush_every = flush_every
         self._pending: List[Dict] = []   # values may be device arrays
@@ -30,6 +31,18 @@ class MetricsLogger:
         # header once per FILE, not once per process
         self._header_written = bool(path and os.path.exists(path)
                                     and os.path.getsize(path) > 0)
+        # Optional TensorBoard event stream alongside the CSV (SURVEY §5
+        # metrics plan). TF import + writer creation are deferred to the
+        # first flush so runs without --tensorboard never pay them.
+        self.tensorboard_dir = tensorboard_dir
+        self._tb_writer = None
+
+    def _tb(self):
+        if self._tb_writer is None and self.tensorboard_dir:
+            import tensorflow as tf    # CPU-only here; never touches TPU
+            self._tb_writer = tf.summary.create_file_writer(
+                self.tensorboard_dir)
+        return self._tb_writer
 
     def log(self, step: int, metrics: Dict, **extra):
         """Queue device scalars WITHOUT syncing; they are fetched at flush."""
@@ -46,6 +59,17 @@ class MetricsLogger:
                      else v) for k, v in r.items()} for r in fetched]
         self._rows.extend(rows)
         self._pending.clear()
+        tb = self._tb()
+        if tb is not None:
+            import tensorflow as tf
+            with tb.as_default():
+                for r in rows:
+                    for k, v in r.items():
+                        if k in ('step', 'time') or not isinstance(
+                                v, (int, float)):
+                            continue
+                        tf.summary.scalar(k, v, step=int(r['step']))
+            tb.flush()
         if self.path:
             write_header = not self._header_written
             with open(self.path, 'a', newline='') as f:

@@ -157,6 +157,60 @@ def make_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
     return make(sup), make(unsup)
 
 
+def make_mixed_scan_train_step(model: CCVAE, train_cfg: TrainConfig,
+                               donate: bool = True,
+                               jit: bool = True) -> Callable:
+    """Semi-supervised multi-step trainer:
+    (state, xs, ys, sup_mask, gating_temp) -> (state, metrics).
+
+    xs/ys are stacked [n_inner, B, ...] batches; sup_mask is a [n_inner]
+    bool array marking which inner steps are supervised. The reference's
+    deterministic sup/unsup interleave (gated_ccvae.py:320-334) is a
+    STATIC pattern per chunk, so the whole chunk compiles to one XLA
+    program: a lax.scan whose body selects the supervised or unsupervised
+    loss with lax.cond (only the taken branch executes at runtime).
+
+    This is what lets the paper's headline sup=0.2/0.5 schedules ride the
+    scan dispatch path (round 2 restricted scanning to uniform schedules
+    and paid ~6x dispatch overhead on semi-sup runs). Per-step RNG
+    (TrainState.next_rng folds the step counter) is branch-independent,
+    so results are bit-identical to per-step dispatch of the same
+    schedule — verified in tests/test_trainer_scan.py.
+    """
+    sup, unsup = make_train_steps(model, train_cfg, jit=False)
+
+    def scan_fn(state, xs, ys, sup_mask, gating_temp):
+        def body(s, xym):
+            x, y, m = xym
+            return jax.lax.cond(m,
+                                lambda s_: sup(s_, x, y, gating_temp),
+                                lambda s_: unsup(s_, x, y, gating_temp),
+                                s)
+        return jax.lax.scan(body, state, (xs, ys, sup_mask))
+
+    if not jit:
+        return scan_fn
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_scan_elbo_step(model: CCVAE, train_cfg: TrainConfig,
+                        jit: bool = True) -> Callable:
+    """Multi-batch test-ELBO meter: (params, xs, keys, gating_temp) ->
+    elbos [n]. Same dispatch-amortization story as make_scan_eval_step —
+    the per-batch ELBO loop was the last per-dispatch-bound eval path
+    (sup=0.0 runs pay it over the whole valid split every epoch)."""
+    el = make_elbo_eval_step(model, train_cfg, jit=False)
+
+    def scan_fn(params, xs, keys, gating_temp):
+        def body(carry, xk):
+            x, k = xk
+            return carry, el(params, x, k, gating_temp)
+        _, elbos = jax.lax.scan(body, None, (xs, keys))
+        return elbos
+
+    return jax.jit(scan_fn) if jit else scan_fn
+
+
 def _as_f32_image(x):
     """uint8 [0,255] -> f32 [0,1] on device; f32 passes through.
 

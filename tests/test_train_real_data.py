@@ -85,6 +85,95 @@ def test_cli_trains_128px_on_jpeg_dataset(celeba_root, tmp_path):
     assert mu.shape == (40, 40)
 
 
+def _native_available():
+    from gltvae.data import native_loader
+    return native_loader.is_available()
+
+
+def _grain_available():
+    from gltvae.data import grain_loader
+    return grain_loader.is_available()
+
+
+@pytest.mark.parametrize('backend', [
+    pytest.param('native', marks=pytest.mark.skipif(
+        not _native_available(), reason='native loader not built')),
+    pytest.param('grain', marks=pytest.mark.skipif(
+        not _grain_available(), reason='grain not installed')),
+])
+def test_cli_trains_with_decode_backend(celeba_root, tmp_path, backend):
+    """--decode-backend native/grain end-to-end through the CLI: the C++
+    libjpeg pool / Grain pipeline feed the SAME training path as cv2."""
+    import train as cli
+    out = tmp_path / 'models'
+    results = cli.main([
+        '--data-dir', str(celeba_root), '--output-dir', str(out),
+        '--do-train', '--epochs', '1', '-bs', '4', '--sup', '1.0',
+        '--n-train', '12', '--n-valid', '4', '--n-test', '4',
+        '--num-workers', '2', '--seed', '0',
+        '--decode-backend', backend,
+    ])
+    assert 0.0 <= results[1.0] <= 1.0
+    assert (out / 'params_1.0_learnable' / 'metrics.csv').exists()
+
+
+def test_decode_backends_agree_pixelwise(celeba_root):
+    """All decode backends must produce the same pixels for the same file
+    (within resize-rounding): cv2 is the yardstick; the native C++ pool
+    and the Grain map must not introduce train/serve skew."""
+    from gltvae.config import DataConfig
+    from gltvae.data.celeba import CelebAReader, ImageFolderDataset
+    cfg = DataConfig(data_dir=str(celeba_root), n_train=20, n_valid=6,
+                     n_test=6, num_workers=0)
+    reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4)
+    split = reader.splits['train']
+    img_dir = os.path.join(str(celeba_root), 'img_align_celeba')
+    ref_ds = ImageFolderDataset(img_dir, split, 64, backend='cv2')
+    idxs = np.arange(4)
+    ref, ref_y = ref_ds.fetch(idxs)
+    assert ref.dtype == np.uint8 and ref.shape == (4, 64, 64, 3)
+
+    if _native_available():
+        from gltvae.data.native_loader import NativeImageFolderDataset
+        nat, nat_y = NativeImageFolderDataset(img_dir, split, 64).fetch(idxs)
+        assert nat.shape == ref.shape and nat.dtype == np.uint8
+        np.testing.assert_array_equal(nat_y, ref_y)
+        # bilinear implementations may round differently by ±1-2 levels
+        assert np.mean(np.abs(nat.astype(int) - ref.astype(int))) < 3.0
+
+    if _grain_available():
+        from gltvae.data.grain_loader import _DecodeMap
+        dm = _DecodeMap(img_dir, split.ids, split.labels, 64)
+        g_img, g_y = dm[0]
+        np.testing.assert_array_equal(g_img, ref[0])   # same cv2 path
+        np.testing.assert_array_equal(g_y, ref_y[0])
+
+
+def test_grain_decode_map_center_crops(celeba_root):
+    """Round-2 bug: make_grain_loader dropped center_crop, silently
+    skewing 128px runs. The crop must now reach the decode map."""
+    if not _grain_available():
+        pytest.skip('grain not installed')
+    from gltvae.config import DataConfig
+    from gltvae.data.celeba import CelebAReader, ImageFolderDataset
+    from gltvae.data.grain_loader import _DecodeMap, make_grain_loader
+    cfg = DataConfig(data_dir=str(celeba_root), n_train=20, n_valid=6,
+                     n_test=6, num_workers=0)
+    reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4)
+    split = reader.splits['train']
+    img_dir = os.path.join(str(celeba_root), 'img_align_celeba')
+    ref = ImageFolderDataset(img_dir, split, 64, backend='cv2',
+                             center_crop=True).fetch(np.arange(1))[0][0]
+    dm = _DecodeMap(img_dir, split.ids, split.labels, 64, center_crop=True)
+    np.testing.assert_array_equal(dm[0][0], ref)
+    # and the loader factory forwards it
+    loader = make_grain_loader(img_dir, split.ids, split.labels,
+                               batch_size=2, image_size=64, shuffle=False,
+                               center_crop=True)
+    x, _ = next(iter(loader))
+    np.testing.assert_array_equal(x[0], ref)
+
+
 def test_sup0_reader_builds_valid_loader(celeba_root):
     """sup=0.0 runs best-checkpoint on validation ELBO (train/loop.py), so
     the real-data reader must include the 'valid' loader — the reference

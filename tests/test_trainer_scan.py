@@ -1,6 +1,7 @@
 """Trainer multi-step dispatch: a scanned run must match the per-step run
-exactly (same RNG stream, same final state) and fall back to per-step for
-the semi-supervised interleave."""
+exactly (same RNG stream, same final state) — including the
+semi-supervised interleave, which dispatches mixed sup/unsup chunks
+through the lax.cond scan (make_mixed_scan_train_step)."""
 
 import jax
 import numpy as np
@@ -51,14 +52,93 @@ def test_scan_handles_remainder_chunks():
     assert int(t.state.step) == 6
 
 
-def test_semi_supervised_falls_back_to_per_step():
+def test_mixed_scan_matches_per_step_semi_sup():
+    """sup=0.5 -> period 2: every spd=4 chunk interleaves sup and unsup
+    steps. The mixed lax.cond scan must reproduce the per-step run's final
+    params exactly (same schedule, same per-step RNG stream)."""
+    cfg = TrainConfig(batch_size=8, perc_supervision=0.5,
+                      classifier_mc_samples=2, n_epochs=2)
+    t1 = Trainer(MODEL, cfg, mu_init=mu())
+    t1.train(loaders(0.5))
+    t4 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=4)
+    result = t4.train(loaders(0.5))
+    # 3 sup + 3 unsup batches per epoch
+    assert int(t1.state.step) == int(t4.state.step) == 12
+    assert t4._mixed_scan_fn is not None   # the mixed path actually ran
+    assert np.isfinite(result['best_val_accuracy'])
+    for a, b in zip(jax.tree.leaves(_final_params(t1)),
+                    jax.tree.leaves(_final_params(t4))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_mixed_scan_matches_per_step_sup02():
+    """sup=0.2 (the paper's hardest headline schedule) -> period 4 over
+    2 sup + 7 unsup batches: chunk boundaries fall mid-period."""
+    splits = synthetic_splits(n_train=68, n_valid=8, n_test=8,
+                              sup_frac=0.2, image_size=16, y_dim=4)
+    cfg = TrainConfig(batch_size=8, perc_supervision=0.2,
+                      classifier_mc_samples=2, n_epochs=1)
+    lds1 = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    lds4 = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    t1 = Trainer(MODEL, cfg, mu_init=mu())
+    t1.train(lds1)
+    t4 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=4)
+    t4.train(lds4)
+    assert int(t1.state.step) == int(t4.state.step) == 9
+    for a, b in zip(jax.tree.leaves(_final_params(t1)),
+                    jax.tree.leaves(_final_params(t4))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_schedule_flags_match_reference_interleave():
+    """_schedule_flags must reproduce the reference's per-step decision
+    (gated_ccvae.py:320-334) for every (total, period, quota) regime."""
+    for total, period, quota in [(6, 2, 3), (9, 4, 2), (6, 1, 6),
+                                 (10, 1, 7), (5, 0, 0)]:
+        flags = Trainer._schedule_flags(total, period, quota)
+        ctr = 0
+        for i, f in enumerate(flags):
+            expect = period > 0 and i % period == 0 and ctr < quota
+            assert f == expect, (total, period, quota, i)
+            ctr += int(f)
+        assert sum(flags) == min(quota, sum(
+            1 for i in range(total) if period > 0 and i % period == 0))
+
+
+def test_scan_metrics_are_step_complete(tmp_path):
+    """With log_every=1 the metrics CSV must contain one row per training
+    step with the SAME values regardless of steps_per_dispatch."""
     cfg = TrainConfig(batch_size=8, perc_supervision=0.5,
                       classifier_mc_samples=2, n_epochs=1)
-    t = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=4)
-    result = t.train(loaders(0.5))
-    # 3 sup + 3 unsup batches
-    assert int(t.state.step) == 6
-    assert np.isfinite(result['best_val_accuracy'])
+    rows = {}
+    for spd in (1, 4):
+        t = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=spd,
+                    metrics_path=str(tmp_path / f'm{spd}.csv'))
+        t.train(loaders(0.5), log_every=1)
+        rows[spd] = t.metrics.rows
+    assert len(rows[1]) == len(rows[4]) == 6   # one row per step
+    for r1, r4 in zip(rows[1], rows[4]):
+        assert r1['step'] == r4['step']
+        assert r1['supervised'] == r4['supervised']
+        np.testing.assert_allclose(r1['loss'], r4['loss'], rtol=1e-5)
+        np.testing.assert_allclose(r1['elbo'], r4['elbo'], rtol=1e-5)
+
+
+def test_scan_elbo_matches_per_batch():
+    """Trainer.test_elbo through the scan dispatch: identical key chain
+    and values as the per-batch path, incl. a remainder chunk."""
+    cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                      classifier_mc_samples=2)
+    splits = synthetic_splits(n_train=48, n_valid=24, n_test=8,
+                              sup_frac=1.0, image_size=16, y_dim=4)
+    lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    t1 = Trainer(MODEL, cfg, mu_init=mu())
+    t2 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2)
+    e1 = t1.test_elbo(lds['valid'])
+    lds['valid'].reset()
+    e2 = t2.test_elbo(lds['valid'])
+    assert t2._scan_elbo is not None
+    np.testing.assert_allclose(e1, e2, rtol=1e-5)
 
 
 def test_scan_eval_matches_per_batch_eval():

@@ -17,15 +17,56 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def make_corpus(root, n, size=(218, 178)):
+    """CelebA-format corpus: root/img_align_celeba/*.jpg + attr CSV, so
+    the training-wired loader benches can use CelebAReader itself."""
     import PIL.Image
+    from gltvae.config import CELEBA_LABELS
+    img_dir = os.path.join(root, 'img_align_celeba')
+    os.makedirs(img_dir, exist_ok=True)
     rng = np.random.RandomState(0)
-    paths = []
+    paths, lines = [], ['image_id,' + ','.join(CELEBA_LABELS)]
     for i in range(n):
         img = rng.randint(0, 255, (*size, 3), dtype=np.uint8)
-        p = os.path.join(root, f'{i:06d}.jpg')
+        name = f'{i:06d}.jpg'
+        p = os.path.join(img_dir, name)
         PIL.Image.fromarray(img).save(p, quality=90)
         paths.append(p)
+        lines.append(name + ',' + ','.join(
+            map(str, rng.choice([-1, 1], size=40))))
+    with open(os.path.join(root, 'list_attr_celeba.csv'), 'w') as f:
+        f.write('\n'.join(lines) + '\n')
     return paths
+
+
+def bench_training_loader(root, n, out_size, batch_size, backend, workers):
+    """images/sec through the EXACT loader stack train.py uses for
+    --decode-backend: CelebAReader -> (BatchLoader worker threads |
+    native C++ pool | Grain iterator) -> stacked uint8 batches. This is
+    the e2e-relevant number (round 2 measured e2e host-decode-bound)."""
+    from gltvae.config import DataConfig
+    from gltvae.data.celeba import CelebAReader
+    nv = max(1, n // 8)
+    cfg = DataConfig(data_dir=root, image_size=out_size,
+                     n_train=n - 2 * nv, n_valid=nv, n_test=nv,
+                     num_workers=workers, decode_backend=backend)
+    try:
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=batch_size)
+        loader = reader.setup_data_loaders()['sup']
+    except (RuntimeError, ValueError):
+        return None          # backend unavailable
+    it = iter(loader)
+    nb = loader.epoch_batches
+    for _ in range(min(2, nb)):
+        next(it)             # warm workers / prefetch queue
+    total = 0
+    t0 = time.perf_counter()
+    for _ in range(nb * 3):
+        x, _ = next(it)
+        total += len(x)
+    rate = total / (time.perf_counter() - t0)
+    if hasattr(it, 'close'):
+        it.close()
+    return rate
 
 
 def bench_pil_sequential(paths, out_size):
@@ -120,9 +161,15 @@ def main():
             'pil_sequential (reference pattern)':
                 bench_pil_sequential(paths, args.out_size),
             'cv2_sequential': bench_cv2_sequential(paths, args.out_size),
-            f'native_cpp_x{args.threads}':
+            f'native_cpp_x{args.threads} (raw pool)':
                 bench_native(paths, args.out_size, args.threads),
         }
+        # the loader stacks exactly as train.py --decode-backend wires them
+        bs = min(64, args.n // 4)
+        for backend in ('cv2', 'native', 'grain'):
+            results[f'train-path {backend} x{args.threads}'] = \
+                bench_training_loader(d, args.n, args.out_size, bs,
+                                      backend, args.threads)
     if args.device_resize:
         results[f'ship{args.out_size}px+step (host resize)'] = \
             bench_ship_and_step(args.out_size, full_res=False)

@@ -33,25 +33,24 @@ def parse_args(argv=None):
                    help='must match the trained run (optimizer-state tree)')
     p.add_argument('--gate-subtype', default='inferred',
                    choices=['one-one', 'inferred'])
+    p.add_argument('--z-dim', type=int, default=45,
+                   help='latent size of the trained run (ignored when the '
+                        'run dir carries model_config.json)')
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    import dataclasses
-    from gltvae.config import (ModelConfig, celeba128, CELEBA_LABELS,
-                               CELEBA_EASY_LABELS)
+    from gltvae.config import CELEBA_LABELS, CELEBA_EASY_LABELS
     from gltvae.models.ccvae import CCVAE
     from gltvae.utils.h5_export import export_reference_checkpoint
-    from tools.infer import load_params
+    from tools.infer import load_params, resolve_model_config
 
     if not os.path.isdir(os.path.join(args.checkpoint, 'orbax')):
         raise SystemExit(f'{args.checkpoint} has no orbax/ subdir — this '
                          'tool exports train.py runs (reference .h5 dirs '
                          'are already in the target format)')
-    cfg = (celeba128()[0] if args.image_size == 128 else ModelConfig())
-    cfg = dataclasses.replace(cfg, gate_type=args.gate_type,
-                              gate_subtype=args.gate_subtype)
+    cfg = resolve_model_config(args)
     model = CCVAE(cfg)
     args.mu = None  # load_params h5-branch compat (unused for Orbax)
     params = load_params(args, model)

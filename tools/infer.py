@@ -43,6 +43,10 @@ def parse_args(argv=None):
                         'learnable and fixed gating)')
     p.add_argument('--gate-subtype', default='inferred',
                    choices=['one-one', 'inferred'])
+    p.add_argument('--z-dim', type=int, default=45,
+                   help='latent size of the trained run (ignored when the '
+                        'run dir carries model_config.json — train.py '
+                        'records it automatically)')
     p.add_argument('--num-workers', type=int, default=4,
                    help='decode worker threads (overlap JPEG decode with '
                         'device inference)')
@@ -77,11 +81,45 @@ def load_params(args, model):
         mgr = CheckpointManager(os.path.join(ckpt, 'orbax'))
         # 'best' -> best_step (restore default); 'last' -> latest_step
         step = mgr.latest_step() if args.model_id == 'last' else None
-        state = mgr.restore(template, step=step)
+        try:
+            state = mgr.restore(template, step=step)
+        except Exception as e:
+            raise SystemExit(
+                f'Orbax restore failed for {ckpt}: {e}\n'
+                'This usually means the restore template does not match '
+                'the trained architecture — check --z-dim/--gate-type/'
+                '--gate-subtype/--image-size against the run (newer runs '
+                'record them in model_config.json and need no flags).')
         return state.params
     from gltvae.utils.h5_import import load_reference_checkpoint
     mu = np.load(args.mu) if args.mu else None
     return load_reference_checkpoint(ckpt, args.model_id, mu=mu)
+
+
+def resolve_model_config(args):
+    """ModelConfig for a checkpoint: the model_config.json train.py wrote
+    into the run dir when present (authoritative — a flag/recorded-config
+    mismatch would otherwise surface as an opaque Orbax restore error),
+    else rebuilt from the CLI flags."""
+    import dataclasses
+    from gltvae.config import ModelConfig, celeba128, load_model_config
+    recorded = load_model_config(args.checkpoint)
+    if recorded is not None:
+        for flag, val in (('image-size', args.image_size),
+                          ('gate-type', args.gate_type),
+                          ('gate-subtype', args.gate_subtype),
+                          ('z-dim', getattr(args, 'z_dim', recorded.z_dim))):
+            rec = getattr(recorded, flag.replace('-', '_'))
+            if rec != val:
+                print(f'note: run dir records --{flag}={rec} '
+                      f'(overriding the CLI value {val})')
+        return recorded
+    cfg = (celeba128()[0] if args.image_size == 128 else ModelConfig())
+    overrides = {'gate_type': args.gate_type,
+                 'gate_subtype': args.gate_subtype}
+    if getattr(args, 'z_dim', None) is not None and args.image_size != 128:
+        overrides['z_dim'] = args.z_dim
+    return dataclasses.replace(cfg, **overrides)
 
 
 def make_predict(model, stochastic: bool, temp: float):
@@ -103,18 +141,14 @@ def make_predict(model, stochastic: bool, temp: float):
 def main(argv=None):
     args = parse_args(argv)
     import jax
-    from gltvae.config import (ModelConfig, CELEBA_LABELS,
-                               CELEBA_EASY_LABELS, celeba128)
+    from gltvae.config import CELEBA_LABELS, CELEBA_EASY_LABELS
     from gltvae.models.ccvae import CCVAE
     from gltvae.data.celeba import ImageFolderDataset, _SplitData
     from gltvae.utils.compile_cache import (
         enable_persistent_compilation_cache)
     enable_persistent_compilation_cache()
 
-    import dataclasses
-    cfg = (celeba128()[0] if args.image_size == 128 else ModelConfig())
-    cfg = dataclasses.replace(cfg, gate_type=args.gate_type,
-                              gate_subtype=args.gate_subtype)
+    cfg = resolve_model_config(args)
     model = CCVAE(cfg)
     params = load_params(args, model)
 
@@ -127,7 +161,7 @@ def main(argv=None):
     ds = ImageFolderDataset(args.images,
                             _SplitData(names, np.zeros((len(names), 1))),
                             cfg.image_size,
-                            center_crop=(args.image_size == 128))
+                            center_crop=(cfg.image_size == 128))
     # worker-thread decode overlapping device inference; shuffle=False so
     # batch order is names order, and the wrap-around tail padding keeps
     # every dispatch on the one compiled shape (excess rows discarded)
@@ -149,14 +183,17 @@ def main(argv=None):
             x, _ = next(it)
             probs = np.asarray(jax.device_get(
                 predict(params, x, jax.random.fold_in(key, b))))
-            # threshold the ROUNDED values so the hard columns always
-            # agree with the probabilities as printed
+            # hard labels use the SAME semantics as the shared eval path
+            # (predict_labels: jnp.round is round-half-to-even, so p=0.5
+            # maps to 0 — i.e. 1 iff p > 0.5); the 4-decimal rounding is
+            # display-only, so a printed 0.5000 can rarely sit next to a
+            # hard 1 (true p was in (0.5, 0.50005))
+            hard_all = (probs > 0.5).astype(int)
             p4 = np.round(probs, 4)
             for row in range(len(p4)):
                 if idx >= len(names):
                     break
-                hard = (p4[row] >= 0.5).astype(int)
-                w.writerow([names[idx]] + hard.tolist()
+                w.writerow([names[idx]] + hard_all[row].tolist()
                            + [f'{p:.4f}' for p in p4[row]])
                 idx += 1
     if hasattr(it, 'close'):

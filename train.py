@@ -88,12 +88,20 @@ def parse_args(argv=None):
                    help='lax.scan N same-kind steps per device dispatch '
                         '(uniform schedules only; semantics identical)')
     p.add_argument('--num-workers', type=int, default=8)
+    p.add_argument('--decode-backend', default='auto',
+                   choices=['auto', 'cv2', 'pil', 'native', 'grain'],
+                   help="host decode path: 'native' = the C++ libjpeg "
+                        "pool (make -C native), 'grain' = Google Grain; "
+                        "'auto' = cv2 with PIL fallback")
     p.add_argument('--n-train', type=int, default=None,
                    help='train-split size (default: official 162770, '
                         'utils_data.py:87-91); set for dataset subsets')
     p.add_argument('--n-valid', type=int, default=None)
     p.add_argument('--n-test', type=int, default=None)
     p.add_argument('--output-dir', default='./models')
+    p.add_argument('--tensorboard', default=None, metavar='DIR',
+                   help='also write TensorBoard scalar events under '
+                        'DIR/<run_name> (CSV metrics are always written)')
     p.add_argument('--compilation-cache', default='auto', metavar='DIR',
                    help="persistent XLA executable cache dir ('auto' = "
                         "~/.cache/gltvae/xla; 'off' disables); first "
@@ -129,6 +137,7 @@ def build_configs(args, sup):
                           use_easy_labels=(args.image_size == 64),
                           center_crop=(args.image_size == 128),
                           num_workers=args.num_workers,
+                          decode_backend=args.decode_backend,
                           **split_overrides)
     return model_cfg, train_cfg, data_cfg
 
@@ -179,11 +188,19 @@ def run(args, sup: float):
         run_name = f'params_{sup}_{args.gate_type}_{args.gate_subtype}'
     param_dir = os.path.join(args.output_dir, run_name)
     os.makedirs(param_dir, exist_ok=True)
+    # persist the architecture so offline tools can rebuild the exact
+    # restore template (non-default --z-dim etc.) without re-deriving it
+    # from CLI flags
+    from gltvae.config import save_model_config
+    save_model_config(model_cfg, param_dir)
 
     from gltvae.train.loop import Trainer
     trainer = Trainer(model_cfg, train_cfg, mu_init=mu_init, mesh=mesh,
                       checkpoint_dir=os.path.join(param_dir, 'orbax'),
                       metrics_path=os.path.join(param_dir, 'metrics.csv'),
+                      tensorboard_dir=(os.path.join(args.tensorboard,
+                                                    run_name)
+                                       if args.tensorboard else None),
                       steps_per_dispatch=args.steps_per_dispatch)
 
     if args.init_from_h5:
@@ -201,6 +218,7 @@ def run(args, sup: float):
             args.init_from_h5, mu=fallback_mu))
         logger.info('warm-started from %s', args.init_from_h5)
 
+    result = None
     if args.do_train:
         result = trainer.train(loaders, param_dir=param_dir,
                                resume=args.resume)
@@ -222,8 +240,22 @@ def run(args, sup: float):
                 logger.warning('no checkpoint to restore; testing fresh init')
         acc = trainer.test(loaders['test'])
         logger.info('Test Accuracy (best model): %.3f', acc)
+        _write_result_json(param_dir, result, acc)
         return acc
+    _write_result_json(param_dir, result, None)
     return None
+
+
+def _write_result_json(param_dir, result, test_accuracy):
+    """Machine-readable run record (epoch history + test accuracy) next
+    to the checkpoints — consumed by tools/parity_head2head.py and handy
+    for any offline analysis; the reference leaves this only in its
+    free-text ./logs."""
+    payload = {'test_accuracy': test_accuracy}
+    if result is not None:
+        payload.update(result)
+    with open(os.path.join(param_dir, 'result.json'), 'w') as f:
+        json.dump(payload, f, indent=2, default=float)
 
 
 def main(argv=None):
