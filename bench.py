@@ -26,13 +26,15 @@ import numpy as np
 
 def bench_train_step(batch_size: int, steps: int, warmup: int,
                      compute_dtype: str, supervised: bool = True,
-                     scan: int = 0, image_size: int = 64):
+                     scan: int = 0, image_size: int = 64,
+                     semi_sup_period: int = 0):
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig, celeba128
     from gltvae.models.ccvae import CCVAE
     from gltvae.train.state import create_train_state
-    from gltvae.train.steps import make_train_steps, make_scan_train_steps
+    from gltvae.train.steps import (make_train_steps, make_scan_train_steps,
+                                    make_mixed_scan_train_step)
 
     if image_size == 128:
         cfg, _ = celeba128()
@@ -57,17 +59,31 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
     if scan > 1:
         # n_inner steps per dispatch (amortizes host overhead);
         # distinct per-slot batches so nothing is hoistable
-        sup_step, unsup_step = make_scan_train_steps(model, train_cfg)
-        step_fn = sup_step if supervised else unsup_step
         xs = jnp.asarray(rng.randint(
             0, 256, (scan, batch_size, image_size, image_size, 3)),
             jnp.uint8)
         ys = jnp.asarray((rng.rand(scan, batch_size, yd) > 0.5)
                          .astype(np.float32))
+        if semi_sup_period > 1:
+            # the reference's semi-sup interleave as one mixed chunk:
+            # step i supervised iff i % period == 0 (e.g. period 5 for
+            # sup=0.2) — the exact dispatch Trainer uses for the paper's
+            # headline schedules
+            mixed = make_mixed_scan_train_step(model, train_cfg)
+            mask = jnp.asarray(
+                np.arange(scan) % semi_sup_period == 0)
+            step_fn = mixed
 
-        def step(s):
-            s, ms = step_fn(s, xs, ys, 1.0)
-            return s, ms['loss'][-1]
+            def step(s):
+                s, ms = step_fn(s, xs, ys, mask, 1.0)
+                return s, ms['loss'][-1]
+        else:
+            sup_step, unsup_step = make_scan_train_steps(model, train_cfg)
+            step_fn = sup_step if supervised else unsup_step
+
+            def step(s):
+                s, ms = step_fn(s, xs, ys, 1.0)
+                return s, ms['loss'][-1]
         per_call = scan
     else:
         sup_step, unsup_step = make_train_steps(model, train_cfg)
@@ -93,8 +109,9 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
     # read from ONE AOT lower+compile (it is a fresh executable build,
     # minutes at 128px — never pay it twice)
     if scan > 1:
-        hbm, roof = _compiled_analyses(step_fn, (state, xs, ys, 1.0),
-                                       dt / (steps * scan))
+        a_args = ((state, xs, ys, mask, 1.0) if semi_sup_period > 1
+                  else (state, xs, ys, 1.0))
+        hbm, roof = _compiled_analyses(step_fn, a_args, dt / (steps * scan))
     else:
         hbm, roof = _compiled_analyses(fn, (state, x, y, 1.0), dt / steps)
     return batch_size * steps * per_call / dt, final_loss, hbm, roof
@@ -229,6 +246,11 @@ def main():
                    help='inner steps per dispatch via lax.scan '
                         '(1 = plain per-step dispatch)')
     p.add_argument('--image-size', type=int, default=64, choices=[64, 128])
+    p.add_argument('--semi-sup-period', type=int, default=0, metavar='P',
+                   help='bench the MIXED semi-sup scan chunk instead of '
+                        'the uniform sup scan: 1 supervised step per P '
+                        '(e.g. 5 ~= the sup=0.2 schedule); requires '
+                        '--scan > 1')
     p.add_argument('--skip-traversal', action='store_true')
     p.add_argument('--no-compilation-cache', action='store_true',
                    help='disable the persistent XLA executable cache '
@@ -254,16 +276,19 @@ def main():
 
     imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
-        scan=args.scan, image_size=args.image_size)
+        scan=args.scan, image_size=args.image_size,
+        semi_sup_period=args.semi_sup_period)
     peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
     eval_ips = (None if args.skip_traversal
                 else bench_eval(args.batch_size))
 
     baseline = 700.0  # reference images/sec (BASELINE.md, derived)
+    kind = ('semi-sup 1/%d mix' % args.semi_sup_period
+            if args.semi_sup_period > 1 else 'sup step')
     result = {
-        'metric': 'ELBO train images/sec/chip (CelebA-%d, sup step, bs %d, %s)'
-                  % (args.image_size, args.batch_size, args.dtype),
+        'metric': 'ELBO train images/sec/chip (CelebA-%d, %s, bs %d, %s)'
+                  % (args.image_size, kind, args.batch_size, args.dtype),
         'value': round(imgs_per_sec, 1),
         'unit': 'images/sec',
         'vs_baseline': round(imgs_per_sec / baseline, 2),

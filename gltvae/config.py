@@ -128,6 +128,11 @@ class TrainConfig:
     # Improvements over the reference, off by default in parity mode:
     reshuffle_each_epoch: bool = True   # reference shuffles once (utils_data.py:39-40)
     deterministic_eval: bool = False    # reference eval is stochastic (gated_ccvae.py:421-446)
+    # Train-time augmentation (framework extension; reference has none):
+    # host decodes train images to (S+2*pad), the device does a fused
+    # random-crop-to-S + hflip + normalize (ops/pallas/preprocess.py
+    # fused_augment). 0 disables. Eval splits are never augmented.
+    augment_pad: int = 0
 
     def gating_temp_for(self, model: ModelConfig) -> float:
         if self.gating_init_temp is not None:
@@ -169,6 +174,9 @@ class DataConfig:
     # default. (BASELINE.json north star: decode+crop+resize+normalize
     # fused on device.)
     device_resize: bool = False
+    # Train-split host decode target becomes image_size + 2*augment_pad
+    # (see TrainConfig.augment_pad; the device crops back to image_size).
+    augment_pad: int = 0
 
 
 MODEL_CONFIG_FILENAME = 'model_config.json'

@@ -223,6 +223,15 @@ class CelebAReader:
         is purely a host-throughput knob (the reference's single-threaded
         PIL decode, utils_data.py:48-63, was its data bottleneck)."""
         split = self.splits[mode]
+        # augmentation pad: TRAIN images decode to S+2P so the device can
+        # random-crop back to S (fused_augment); eval splits stay at S
+        size = self.cfg.image_size
+        if self.cfg.augment_pad and mode in ('sup', 'unsup', 'train'):
+            if self.cfg.device_resize:
+                raise ValueError('augment_pad with device_resize is '
+                                 'unsupported (pick one device-side '
+                                 'input stage)')
+            size = size + 2 * self.cfg.augment_pad
         if backend == 'grain':
             from gltvae.data import grain_loader
             if not grain_loader.is_available():
@@ -231,17 +240,17 @@ class CelebAReader:
             return grain_loader.make_grain_loader(
                 image_dir, split.ids, split.labels,
                 batch_size=self.batch_size,
-                image_size=self.cfg.image_size, seed=self.seed,
+                image_size=size, seed=self.seed,
                 num_workers=self.num_workers,
                 center_crop=self.cfg.center_crop)
         if backend == 'native':
             from gltvae.data.native_loader import NativeImageFolderDataset
             ds = NativeImageFolderDataset(
-                image_dir, split, self.cfg.image_size,
+                image_dir, split, size,
                 center_crop=self.cfg.center_crop,
                 num_threads=self.num_workers)
         else:
-            ds = ImageFolderDataset(image_dir, split, self.cfg.image_size,
+            ds = ImageFolderDataset(image_dir, split, size,
                                     center_crop=self.cfg.center_crop,
                                     backend=backend,
                                     host_resize=not self.cfg.device_resize)

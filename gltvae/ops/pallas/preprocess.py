@@ -120,3 +120,114 @@ def preprocess_batch(u8: jax.Array, key: Optional[jax.Array] = None,
         x = jnp.where(do[:, None, None, None],
                       jax.lax.rev(x, dimensions=(2,)), x)
     return x
+
+
+# ---------------------------------------------------------------------
+# Fused train-time augmentation: random crop + horizontal flip +
+# dequant-normalize in ONE kernel pass (uint8 in HBM read once, f32 out
+# written once). A framework extension — the reference trains with no
+# augmentation at all (utils_data.py:48-63 is a bare resize) — exposed
+# opt-in via `train.py --augment-pad`.
+#
+# TPU mapping: per-image crop offsets land at unaligned sublane/lane
+# positions (dy is any int; W*C is never a multiple of 128), where
+# dynamic slices either fail Mosaic's alignment proofs (sublane: "index
+# must be a multiple of 8") or degenerate into slow gathers (lane). Both
+# crops are instead expressed as one-hot selection matmuls that ride the
+# MXU with fully static indexing:
+#     out = R(dy) @ x_u8 @ E(dx, flip) * scale
+# R [S, H] selects rows, E [W*C, S*C] selects columns and applies the
+# flip, both built in-kernel from iotas. The accumulations are exact
+# (0/1 matrices, f32), so the kernel is bit-identical to the XLA
+# dynamic_slice + rev + scale composition it replaces — asserted in
+# tests/test_traversal_preprocess.py.
+# ---------------------------------------------------------------------
+
+
+def _augment_kernel(dy_ref, dx_ref, flip_ref, u8_ref, out_ref, *,
+                    out_size: int, channels: int, scale: float):
+    i = pl.program_id(0)
+    S, C = out_size, channels
+    dy, dx, fl = dy_ref[i], dx_ref[i], flip_ref[i]
+    x = u8_ref[0].astype(jnp.int32).astype(jnp.float32)   # [H, W*C]
+    H, WC = x.shape
+    # row crop: one-hot row selector R[i, h] = (h == dy + i)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
+    rh = jax.lax.broadcasted_iota(jnp.int32, (S, H), 1)
+    rsel = (rh == dy + ri).astype(jnp.float32)
+    rows = jax.lax.dot(rsel, x,
+                       precision=jax.lax.Precision.HIGHEST)  # [S, W*C]
+    # column crop + flip: rows index the input w*C+c layout, cols the
+    # output j*C+c layout
+    row = jax.lax.broadcasted_iota(jnp.int32, (WC, S * C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (WC, S * C), 1)
+    w_in, c_in = row // C, row % C
+    j, c_out = col // C, col % C
+    j_src = jnp.where(fl > 0, S - 1 - j, j)
+    sel = ((w_in == dx + j_src) & (c_in == c_out)).astype(jnp.float32)
+    out_ref[0] = jax.lax.dot(rows, sel,
+                             precision=jax.lax.Precision.HIGHEST) * scale
+
+
+@functools.partial(jax.jit, static_argnames=('out_size', 'interpret',
+                                             'scale'))
+def _fused_augment(u8_flat, dy, dx, flip, out_size: int,
+                   scale: float, interpret: bool):
+    B, H, WC = u8_flat.shape
+    C = 3
+    S = out_size
+    kernel = functools.partial(_augment_kernel, out_size=S, channels=C,
+                               scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, H, WC), lambda i, *_: (i, 0, 0))],
+            out_specs=pl.BlockSpec((1, S, S * C), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, S * C), jnp.float32),
+        interpret=interpret,
+    )(dy, dx, flip, u8_flat)
+
+
+def fused_augment(u8: jax.Array, key: jax.Array, out_size: int,
+                  flip: bool = True, scale: float = 1.0 / 255.0,
+                  interpret: Optional[bool] = None) -> jax.Array:
+    """uint8 [B, H, W, C] -> f32 [B, S, S, C]: per-image random crop to
+    S x S + random horizontal flip + x*scale, one fused Pallas pass."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    B, H, W, C = u8.shape
+    S = out_size
+    if H < S or W < S:
+        raise ValueError(f'input {H}x{W} smaller than crop {S}')
+    k_y, k_x, k_f = jax.random.split(key, 3)
+    dy = jax.random.randint(k_y, (B,), 0, H - S + 1, dtype=jnp.int32)
+    dx = jax.random.randint(k_x, (B,), 0, W - S + 1, dtype=jnp.int32)
+    fl = (jax.random.bernoulli(k_f, 0.5, (B,)).astype(jnp.int32)
+          if flip else jnp.zeros((B,), jnp.int32))
+    out = _fused_augment(u8.reshape(B, H, W * C), dy, dx, fl, S,
+                         float(scale), interpret)
+    return out.reshape(B, S, S, C)
+
+
+def augment_xla(u8: jax.Array, key: jax.Array, out_size: int,
+                flip: bool = True,
+                scale: float = 1.0 / 255.0) -> jax.Array:
+    """XLA twin of fused_augment (vmapped dynamic_slice + rev + scale) —
+    the equivalence oracle and the bench competitor."""
+    B, H, W, C = u8.shape
+    S = out_size
+    k_y, k_x, k_f = jax.random.split(key, 3)
+    dy = jax.random.randint(k_y, (B,), 0, H - S + 1, dtype=jnp.int32)
+    dx = jax.random.randint(k_x, (B,), 0, W - S + 1, dtype=jnp.int32)
+    fl = (jax.random.bernoulli(k_f, 0.5, (B,)).astype(jnp.int32)
+          if flip else jnp.zeros((B,), jnp.int32))
+
+    def one(img, y0, x0, f):
+        crop = jax.lax.dynamic_slice(img, (y0, x0, 0), (S, S, C))
+        crop = jnp.where(f > 0, jax.lax.rev(crop, dimensions=(1,)), crop)
+        return crop.astype(jnp.float32) * scale
+
+    return jax.vmap(one)(u8, dy, dx, fl)

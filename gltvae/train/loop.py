@@ -101,6 +101,13 @@ class Trainer:
             self._place = lambda b: b
             self._place_stacked = lambda b: b
 
+        # Train-time fused augmentation (random crop + hflip + normalize,
+        # ops/pallas/preprocess.fused_augment). Opt-in framework
+        # extension; eval batches are never augmented.
+        self._augment = (self._build_augment(model_cfg.image_size)
+                         if train_cfg.augment_pad > 0 else None)
+        self._augment_key = jax.random.key(train_cfg.seed + 2)
+
         self.gating_temp = train_cfg.gating_temp_for(model_cfg)
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
@@ -154,6 +161,39 @@ class Trainer:
             ctr += int(f)
             flags.append(bool(f))
         return flags
+
+    def _build_augment(self, out_size: int):
+        """Jitted device-side augmentation for per-step [B,...] and
+        stacked [n,B,...] uint8 batches. Under a mesh the kernel runs
+        per-shard via shard_map (a Pallas call is not auto-partitioned),
+        with the key decorrelated across shards by folding in the data
+        axis index."""
+        from gltvae.ops.pallas.preprocess import fused_augment
+
+        def aug(u8, key):
+            if u8.ndim == 5:                     # stacked scan chunk
+                n, b = u8.shape[:2]
+                out = fused_augment(u8.reshape((n * b,) + u8.shape[2:]),
+                                    key, out_size)
+                return out.reshape((n, b, out_size, out_size,
+                                    u8.shape[-1]))
+            return fused_augment(u8, key, out_size)
+
+        if self.mesh is None:
+            return jax.jit(aug, static_argnums=())
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from gltvae.parallel.mesh import DATA_AXIS
+
+        def sharded(u8, key):
+            spec = P(None, DATA_AXIS) if u8.ndim == 5 else P(DATA_AXIS)
+
+            def body(u8s, k):
+                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
+                return aug(u8s, k)
+            return shard_map(body, self.mesh, in_specs=(spec, P()),
+                             out_specs=spec)(u8, key)
+        return jax.jit(sharded)
 
     def _get_mixed_scan(self):
         """Lazily-compiled mixed-schedule scan step (semi-sup runs only)."""
@@ -236,6 +276,10 @@ class Trainer:
                                    for f in chunk))
                     xs, ys = self._place_stacked((np.stack(bx),
                                                   np.stack(by)))
+                    if self._augment is not None:
+                        self._augment_key, sub = jax.random.split(
+                            self._augment_key)
+                        xs = self._augment(xs, sub)
                     if mixed:
                         self.state, ms = self._get_mixed_scan()(
                             self.state, xs, ys,
@@ -250,6 +294,10 @@ class Trainer:
                 else:
                     x, y = self._place(
                         next(sup_iter if chunk[0] else unsup_iter))
+                    if self._augment is not None:
+                        self._augment_key, sub = jax.random.split(
+                            self._augment_key)
+                        x = self._augment(x, sub)
                     step_fn = (self._sup_step if chunk[0]
                                else self._unsup_step)
                     self.state, ms = step_fn(self.state, x, y,

@@ -93,3 +93,78 @@ class TestPreprocess:
             assert ok_same or ok_flip
             kinds.add(ok_same)
         assert len(kinds) == 2
+
+
+class TestFusedAugment:
+    """fused_augment (Pallas random-crop+hflip+normalize) must be
+    BIT-identical to its XLA twin for the same key — the selection
+    matmul is exact 0/1 arithmetic."""
+
+    def _u8(self, rng, shape):
+        return jnp.asarray(rng.randint(0, 256, shape, dtype=np.uint8))
+
+    def test_matches_xla_twin_64(self, rng):
+        from gltvae.ops.pallas.preprocess import fused_augment, augment_xla
+        u8 = self._u8(rng, (8, 72, 72, 3))
+        key = jax.random.key(1)
+        a = fused_augment(u8, key, 64)
+        b = augment_xla(u8, key, 64)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.dtype == jnp.float32 and a.shape == (8, 64, 64, 3)
+
+    def test_matches_xla_twin_128(self, rng):
+        from gltvae.ops.pallas.preprocess import fused_augment, augment_xla
+        u8 = self._u8(rng, (2, 136, 136, 3))
+        key = jax.random.key(2)
+        np.testing.assert_array_equal(
+            np.asarray(fused_augment(u8, key, 128)),
+            np.asarray(augment_xla(u8, key, 128)))
+
+    def test_no_pad_reduces_to_flip_normalize(self, rng):
+        from gltvae.ops.pallas.preprocess import fused_augment
+        u8 = self._u8(rng, (4, 64, 64, 3))
+        out = np.asarray(fused_augment(u8, jax.random.key(3), 64))
+        # same mul-by-reciprocal the kernel applies (x/255 differs in the
+        # last ulp from x*(1/255))
+        src = np.asarray(u8, np.float32) * np.float32(1.0 / 255.0)
+        for i in range(4):   # each image is src or its exact mirror
+            assert (np.array_equal(out[i], src[i])
+                    or np.array_equal(out[i], src[i][:, ::-1]))
+
+    def test_crop_offsets_cover_range(self, rng):
+        from gltvae.ops.pallas.preprocess import fused_augment
+        # a ramp image: the crop offset is recoverable from pixel [0,0,0]
+        ramp = np.zeros((16, 68, 68, 3), np.uint8)
+        ramp += np.arange(68, dtype=np.uint8)[None, :, None, None]
+        out = np.asarray(fused_augment(jnp.asarray(ramp),
+                                       jax.random.key(4), 64, flip=False))
+        dys = np.round(out[:, 0, 0, 0] * 255).astype(int)
+        assert dys.min() >= 0 and dys.max() <= 4 and len(set(dys)) > 1
+
+    def test_trainer_augment_path(self):
+        """Trainer with augment_pad: padded uint8 batches are cropped to
+        the model size on device, and the train loop runs end-to-end."""
+        from gltvae.config import ModelConfig, TrainConfig
+        from gltvae.data.pipeline import BatchLoader
+        from gltvae.data.synthetic import synthetic_splits
+        from gltvae.train.loop import Trainer
+        model = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                            enc_features=(8, 8), enc_hidden=16,
+                            dec_features=(16, 8))
+        cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                          classifier_mc_samples=2, n_epochs=1,
+                          augment_pad=2)
+        # loaders yield PADDED (20px) train images
+        from gltvae.data.pipeline import ArrayDataset
+        splits = synthetic_splits(n_train=16, n_valid=8, n_test=8,
+                                  sup_frac=1.0, image_size=20, y_dim=4)
+        for mode in ('valid', 'test'):   # eval splits at model size
+            splits[mode] = ArrayDataset(
+                images=splits[mode].images[:, 2:18, 2:18],
+                labels=splits[mode].labels)
+        lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+        t = Trainer(model, cfg, mu_init=np.eye(4, dtype=np.float32))
+        assert t._augment is not None
+        res = t.train(lds)
+        assert int(t.state.step) == 2
+        assert np.isfinite(res['best_val_accuracy'])

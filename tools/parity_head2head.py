@@ -94,6 +94,13 @@ def run_gltvae(args, gate_type, gate_subtype, sup, data_dir):
            '--n-train', str(n_tr), '--n-valid', str(n_va),
            '--n-test', str(n_te), '--seed', str(args.seed),
            '--parity',
+           # byte-identical inputs to the reference: the pil backend uses
+           # the reference's exact PIL decode + default-resample resize
+           # (utils_data.py:54-58). cv2's INTER_LINEAR is NOT antialiased
+           # on downscale, so it preserves ~3x more high-frequency noise
+           # than PIL's filtered resize — a preprocessing difference that
+           # measurably changes early learning speed on a noisy corpus.
+           '--decode-backend', 'pil',
            '--steps-per-dispatch', str(args.steps_per_dispatch)]
     subprocess.run(cmd, check=True, cwd=REPO)
     if gate_type == 'learnable':
@@ -145,7 +152,11 @@ def main(argv=None):
         want = {tuple(m.split('/')) for m in args.modes}
         modes = [m for m in MODES if m in want]
 
-    results = {}
+    # successive invocations (e.g. adding a semi-sup config later) merge
+    # into the same results file and report
+    results_path = os.path.join(args.workdir, 'h2h_results.json')
+    results = (json.load(open(results_path))
+               if os.path.exists(results_path) else {})
     for gate_type, gate_subtype in modes:
         for sup in args.sups:
             tag = f'{gate_type}/{gate_subtype}/sup={sup}'
@@ -156,8 +167,7 @@ def main(argv=None):
             results[tag] = {'reference': ref, 'gltvae': glt,
                             'compare': compare(ref, glt, args.tol)}
             print(json.dumps(results[tag]['compare'], indent=2), flush=True)
-            with open(os.path.join(args.workdir, 'h2h_results.json'),
-                      'w') as f:
+            with open(results_path, 'w') as f:
                 json.dump(results, f, indent=2)
 
     if args.report:

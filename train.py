@@ -68,6 +68,12 @@ def parse_args(argv=None):
     p.add_argument('--debug-nans', action='store_true',
                    help='enable jax debug_nans (replaces the reference '
                         'NaN-gate sys.exit guard with precise tracing)')
+    p.add_argument('--augment-pad', type=int, default=0, metavar='P',
+                   help='train-time augmentation (framework extension): '
+                        'host decodes train images to S+2P; the device '
+                        'does a fused random-crop+hflip+normalize back '
+                        'to S (ops/pallas fused_augment). 0 = off '
+                        '(reference semantics)')
     p.add_argument('--deterministic-eval', action='store_true',
                    help='mean-z / expected-gate eval instead of the '
                         'reference stochastic eval')
@@ -83,7 +89,9 @@ def parse_args(argv=None):
     p.add_argument('--parity', action='store_true',
                    help='reference-exact loader quirks (shuffle indices '
                         'once at init instead of every epoch, '
-                        'utils_data.py:39-40)')
+                        'utils_data.py:39-40). For byte-identical pixels '
+                        'add --decode-backend pil: PIL\'s resize is '
+                        'antialiased, cv2 INTER_LINEAR is not')
     p.add_argument('--steps-per-dispatch', type=int, default=1,
                    help='lax.scan N same-kind steps per device dispatch '
                         '(uniform schedules only; semantics identical)')
@@ -128,7 +136,8 @@ def build_configs(args, sup):
     train_cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, perc_supervision=sup,
                             gating_reg=args.l1_reg, seed=args.seed,
-                            deterministic_eval=args.deterministic_eval)
+                            deterministic_eval=args.deterministic_eval,
+                            augment_pad=args.augment_pad)
     split_overrides = {k: v for k, v in
                        (('n_train', args.n_train), ('n_valid', args.n_valid),
                         ('n_test', args.n_test)) if v is not None}
@@ -138,6 +147,7 @@ def build_configs(args, sup):
                           center_crop=(args.image_size == 128),
                           num_workers=args.num_workers,
                           decode_backend=args.decode_backend,
+                          augment_pad=args.augment_pad,
                           **split_overrides)
     return model_cfg, train_cfg, data_cfg
 
