@@ -25,13 +25,14 @@ REFERENCE = '/root/reference'
 
 
 def build_reference_learner(gate_type='fixed', gate_subtype='one-one',
-                            mu_init=None, lr=1e-4):
+                            mu_init=None, lr=1e-4, workdir='/tmp'):
     try:
         import tensorflow_probability  # noqa: F401
     except ImportError:
         sys.path.insert(0, os.path.join(REPO, 'tools', 'tfp_shim'))
     sys.path.insert(0, REFERENCE)
-    os.chdir('/tmp')                      # reference logs to ./logs
+    if workdir is not None:
+        os.chdir(workdir)                 # reference logs to ./logs
     import gated_ccvae
     cfg = {'n_epochs': 1, 'batch_size': 64, 'num_iters': 10, 'lr': lr,
            'init_temp': 0.1, 'anneal_rate': 3e-5, 'perc_supervision': 1.0,
