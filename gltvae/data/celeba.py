@@ -128,11 +128,13 @@ class ImageFolderDataset:
             img = PIL.Image.fromarray(_center_crop(np.asarray(img)))
         if not self.host_resize:
             return np.asarray(img, dtype=np.uint8)
-        # reference: np.array -> fromarray -> resize (utils_data.py:55-58),
-        # PIL default BILINEAR? No: PIL .resize default is NEAREST before
-        # Pillow 10, BICUBIC after; the reference used the default. We use
-        # bilinear as the framework default; parity mode can pass
-        # backend='pil-nearest'.
+        # The reference's exact resize call: np.array -> fromarray ->
+        # .resize((64,64)) with the DEFAULT resample (utils_data.py:55-58)
+        # — antialiased BICUBIC on modern Pillow. This is the
+        # byte-identical-parity backend; cv2's INTER_LINEAR above is NOT
+        # antialiased on downscale (keeps ~3x more high-frequency
+        # content), which docs/HEAD2HEAD.md measures as a real
+        # early-learning difference on noisy corpora.
         return np.asarray(img.resize((s, s)), dtype=np.uint8)
 
     def fetch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
