@@ -109,6 +109,10 @@ def main(argv=None):
         parsed = parse_run_dir(name)
         if parsed is None or (args.only and args.only not in name):
             continue
+        if not os.path.isdir(os.path.join(args.models_dir, name)):
+            # the reference ships two params_0.2_0.5_* training-LOG
+            # files alongside its checkpoint directories — skip files
+            continue
         sup, gate_type, gate_subtype = parsed
         param_dir = os.path.join(args.models_dir, name)
         try:
