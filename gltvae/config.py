@@ -165,8 +165,8 @@ class DataConfig:
     # Google Grain pipeline (deterministic, process-parallel,
     # host-shardable for multi-host DP).
     decode_backend: str = 'auto'
-    # Ship uint8 to device and normalize there (Pallas) instead of host f32.
-    device_preprocess: bool = True
+    # (uint8 ship + device-side normalize is unconditional: every loader
+    # yields uint8 and the train step dequantizes on device.)
     # Ship full-resolution uint8 (178x218 CelebA) and bilinear-resize on
     # device inside the train/eval jit (MXU matmuls) instead of host
     # cv2/PIL resize. Costs ~10x PCIe bytes at 64px — benched honestly in

@@ -191,8 +191,15 @@ class Trainer:
             def body(u8s, k):
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 return aug(u8s, k)
-            return shard_map(body, self.mesh, in_specs=(spec, P()),
-                             out_specs=spec)(u8, key)
+            try:
+                # a pallas_call inside shard_map needs the varying-across-
+                # mesh-axes check disabled (its out_shape carries no vma)
+                sm = shard_map(body, self.mesh, in_specs=(spec, P()),
+                               out_specs=spec, check_vma=False)
+            except TypeError:   # older jax spells it check_rep
+                sm = shard_map(body, self.mesh, in_specs=(spec, P()),
+                               out_specs=spec, check_rep=False)
+            return sm(u8, key)
         return jax.jit(sharded)
 
     def _get_mixed_scan(self):

@@ -102,3 +102,18 @@ def test_128px_configs_carry_gate_subtype():
     m, _, _ = cli.build_configs(a, sup=1.0)
     assert m.gate_type == 'fixed' and m.gate_subtype == 'one-one'
     assert m.y_dim == 40
+
+
+def test_model_config_roundtrip(tmp_path):
+    """train.py records model_config.json; tools rebuild the exact
+    ModelConfig from it (incl. non-default z_dim — the round-2 advisor's
+    opaque-restore-error case)."""
+    import dataclasses
+    from gltvae.config import (ModelConfig, save_model_config,
+                               load_model_config)
+    cfg = ModelConfig(z_dim=60, gate_type='fixed', gate_subtype='one-one')
+    save_model_config(cfg, str(tmp_path))
+    back = load_model_config(str(tmp_path))
+    assert back == cfg
+    assert dataclasses.asdict(back)['z_dim'] == 60
+    assert load_model_config(str(tmp_path / 'nope')) is None

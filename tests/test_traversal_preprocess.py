@@ -168,3 +168,32 @@ class TestFusedAugment:
         res = t.train(lds)
         assert int(t.state.step) == 2
         assert np.isfinite(res['best_val_accuracy'])
+
+    def test_trainer_augment_on_mesh(self):
+        """The shard_map augmentation leg (per-shard Pallas call, key
+        decorrelated by axis_index) must compile and run over the
+        8-device CPU mesh inside a real Trainer epoch."""
+        import numpy as np
+        from gltvae.config import ModelConfig, TrainConfig
+        from gltvae.data.pipeline import BatchLoader, ArrayDataset
+        from gltvae.data.synthetic import synthetic_splits
+        from gltvae.parallel.mesh import create_mesh
+        from gltvae.train.loop import Trainer
+        model = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                            enc_features=(8, 8), enc_hidden=16,
+                            dec_features=(16, 8))
+        cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                          classifier_mc_samples=2, n_epochs=1,
+                          augment_pad=2)
+        splits = synthetic_splits(n_train=16, n_valid=8, n_test=8,
+                                  sup_frac=1.0, image_size=20, y_dim=4)
+        for mode in ('valid', 'test'):
+            splits[mode] = ArrayDataset(
+                images=splits[mode].images[:, 2:18, 2:18],
+                labels=splits[mode].labels)
+        lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+        t = Trainer(model, cfg, mu_init=np.eye(4, dtype=np.float32),
+                    mesh=create_mesh(), steps_per_dispatch=2)
+        res = t.train(lds)
+        assert int(t.state.step) == 2
+        assert np.isfinite(res['best_val_accuracy'])

@@ -133,8 +133,7 @@ def main(argv=None):
     wall = time.perf_counter() - t0
 
     vals, test = parse_reference_logs(os.path.join(root, 'logs'))
-    n_imgs = (args.n_train if args.sup in (0.0, 1.0)
-              else args.n_train)  # all train images pass each epoch
+    n_imgs = args.n_train   # all train images pass each epoch
     result = {
         'framework': 'reference-tf',
         'gate_type': args.gate_type, 'gate_subtype': args.gate_subtype,
