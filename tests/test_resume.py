@@ -82,3 +82,54 @@ def test_retrain_same_dir_overwrites_stale_checkpoint(tmp_path):
         jax.tree.leaves(restored), jax.tree.leaves(final1)))
     assert l2_to_run2 == 0.0, 'restore did not return run 2 state'
     assert l2_to_run1 > 0.0, 'runs were unexpectedly identical'
+
+
+def test_resume_semi_sup_mixed_scan(tmp_path):
+    """Resume mid-run under the semi-supervised MIXED-SCAN dispatch
+    (sup=0.5, steps_per_dispatch=4): epoch fast-forward must land on the
+    right step count and the run completes through the lax.cond scan."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, perc_supervision=0.5)
+    splits = synthetic_splits(n_train=32, n_valid=8, n_test=8,
+                              sup_frac=0.5, image_size=16, y_dim=4)
+    mu = np.eye(4, dtype=np.float32)
+    ckpt_dir = str(tmp_path / 'ckpt')
+
+    lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    t1 = Trainer(MODEL, cfg, mu_init=mu, checkpoint_dir=ckpt_dir,
+                 steps_per_dispatch=4)
+    t1.train(lds, epochs=2)
+    assert int(t1.state.step) == 2 * 4   # 2 sup + 2 unsup batches/epoch
+    t1.ckpt.close()
+
+    lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+    t2 = Trainer(MODEL, cfg, mu_init=mu, checkpoint_dir=ckpt_dir,
+                 steps_per_dispatch=4)
+    result = t2.train(lds, resume=True)
+    assert int(t2.state.step) == 4 * 4
+    assert len(result['history']) == 2
+    assert t2._mixed_scan_fn is not None
+
+
+def test_resume_of_completed_run_preserves_checkpoint(tmp_path):
+    """Round-2 advisor (medium): re-invoking --resume on an already-
+    complete run must NOT delete/re-save the stored step (the re-save
+    dropped its recorded val_accuracy, letting best-fn GC collect it)."""
+    mu = np.eye(4, dtype=np.float32)
+    ckpt_dir = str(tmp_path / 'ckpt')
+    t1 = Trainer(MODEL, CFG, mu_init=mu, checkpoint_dir=ckpt_dir)
+    t1.train(make_loaders())             # full 4 epochs
+    final_step = int(t1.state.step)
+    best_before = t1.ckpt.best_step()
+    t1.ckpt.close()
+
+    t2 = Trainer(MODEL, CFG, mu_init=mu, checkpoint_dir=ckpt_dir)
+    result = t2.train(make_loaders(), resume=True)   # nothing left to do
+    assert result['history'] == []
+    t2.ckpt.close()
+
+    t3 = Trainer(MODEL, CFG, mu_init=mu, checkpoint_dir=ckpt_dir)
+    assert t3.ckpt.latest_step() == final_step
+    # the best step (with its metrics) survived the no-op re-invocation
+    assert t3.ckpt.best_step() == best_before
+    t3.restore()
