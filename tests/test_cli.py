@@ -117,3 +117,19 @@ def test_model_config_roundtrip(tmp_path):
     assert back == cfg
     assert dataclasses.asdict(back)['z_dim'] == 60
     assert load_model_config(str(tmp_path / 'nope')) is None
+
+
+def test_render_cli_smoke(tmp_path, monkeypatch):
+    """tools/render.py: traversal PNG from a fresh init (the north-star
+    renderer's user-facing surface; previously never CLI-driven in
+    tests)."""
+    import sys
+    out = str(tmp_path / 'trav.png')
+    monkeypatch.setattr(sys, 'argv',
+                        ['render.py', '--mode', 'traversal', '--out', out,
+                         '--dims', '27', '28', '--n-steps', '3'])
+    import importlib
+    render = importlib.import_module('tools.render')
+    render.main()
+    import os
+    assert os.path.getsize(out) > 1000
