@@ -83,3 +83,42 @@ def test_sup_loss_and_grads_match_reference_program(tmp_path, monkeypatch):
             break
     else:
         pytest.fail('classifier kernel variable not found')
+
+
+def test_h5_export_loads_through_reference_load_model(tmp_path,
+                                                      monkeypatch):
+    """gltvae -> reference interchange on MODERN Keras: our legacy-format
+    h5 export must load through the reference's own Learner.load_model
+    (gated_ccvae.py:146-165; Keras 3 still reads the Keras-2 h5 weight
+    layout) and reproduce our forward pass."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tools.diag_ref_compare import build_reference_learner
+    from gltvae.config import ModelConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.utils.h5_export import export_reference_checkpoint
+
+    model = CCVAE(ModelConfig())
+    mu = np.eye(18, dtype=np.float32)
+    params = model.init(jax.random.key(3), mu_init=mu)
+    export_reference_checkpoint(params, str(tmp_path / 'exp'), 'best')
+
+    learner = build_reference_learner('fixed', 'one-one', mu_init=mu,
+                                      workdir=None)
+    learner.load_model(str(tmp_path / 'exp'), 'best')
+
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    locs_tf, scale_tf = learner.model.encoder(x)
+    locs_j, scale_j = model.encode(jax.tree.map(jnp.asarray, params),
+                                   jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(locs_j), locs_tf.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scale_j), scale_tf.numpy(),
+                               atol=1e-5)
+    recon_tf = learner.model.decoder(np.ones((1, 45), np.float32))
+    recon_j = model.decode(jax.tree.map(jnp.asarray, params),
+                           jnp.ones((1, 45), jnp.float32))
+    np.testing.assert_allclose(np.asarray(recon_j), recon_tf.numpy(),
+                               atol=1e-5)
