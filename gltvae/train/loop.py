@@ -181,7 +181,7 @@ class Trainer:
 
         if self.mesh is None:
             return jax.jit(aug, static_argnums=())
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from gltvae.parallel.mesh import DATA_AXIS
 
@@ -191,14 +191,10 @@ class Trainer:
             def body(u8s, k):
                 k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 return aug(u8s, k)
-            try:
-                # a pallas_call inside shard_map needs the varying-across-
-                # mesh-axes check disabled (its out_shape carries no vma)
-                sm = shard_map(body, self.mesh, in_specs=(spec, P()),
-                               out_specs=spec, check_vma=False)
-            except TypeError:   # older jax spells it check_rep
-                sm = shard_map(body, self.mesh, in_specs=(spec, P()),
-                               out_specs=spec, check_rep=False)
+            # a pallas_call inside shard_map needs the varying-across-
+            # mesh-axes check disabled (its out_shape carries no vma)
+            sm = shard_map(body, mesh=self.mesh, in_specs=(spec, P()),
+                           out_specs=spec, check_vma=False)
             return sm(u8, key)
         return jax.jit(sharded)
 
