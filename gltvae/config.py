@@ -125,6 +125,12 @@ class TrainConfig:
     eval_gating_temp: float = 0.3    # test-time temperature (gated_ccvae.py:535)
     classifier_mc_samples: int = 100  # k in the q(y|x) marginal (gated_ccvae.py:167)
     seed: int = 0
+    # PRNG implementation: 'threefry' (jax default; bit-reproducible
+    # across backends, what all goldens/twin tests pin) or 'rbg' (XLA
+    # RngBitGenerator — the TPU-fast partitionable generator; measured
+    # +6% train step on v5e because threefry's bitwise-op chains compete
+    # with the model for issue slots on this bandwidth-bound step).
+    prng_impl: str = 'threefry'
     # Improvements over the reference, off by default in parity mode:
     reshuffle_each_epoch: bool = True   # reference shuffles once (utils_data.py:39-40)
     deterministic_eval: bool = False    # reference eval is stochastic (gated_ccvae.py:421-446)

@@ -32,7 +32,7 @@ import numpy as np
 from gltvae.config import (CELEBA_EASY_LABELS, CELEBA_LABELS, ModelConfig,
                            TrainConfig)
 from gltvae.models.ccvae import CCVAE
-from gltvae.train.state import TrainState, create_train_state
+from gltvae.train.state import TrainState, create_train_state, make_key
 from gltvae.train.steps import make_train_steps, make_eval_step
 from gltvae.train.checkpoint import CheckpointManager, export_gating_matrix
 from gltvae.train.metrics import MetricsLogger, Throughput
@@ -58,12 +58,13 @@ class Trainer:
         self.cfg = train_cfg
         self.mesh = mesh
         self.nan_check_every = nan_check_every
-        # >1: lax.scan N same-kind steps per dispatch (uniform schedules
-        # only — fully supervised or fully unsupervised; the semi-sup
-        # interleave falls back to per-step). Semantics identical.
+        # >1: lax.scan N steps per dispatch. Uniform schedules scan
+        # same-kind chunks; the semi-sup interleave scans mixed chunks
+        # with a static per-step sup mask (make_mixed_scan_train_step).
+        # Semantics identical to per-step dispatch either way.
         self.steps_per_dispatch = max(1, steps_per_dispatch)
 
-        key = jax.random.key(train_cfg.seed)
+        key = make_key(train_cfg.seed, train_cfg.prng_impl)
         self.state = create_train_state(self.model, train_cfg, key,
                                         mu_init=mu_init)
         self._scan_sup = self._scan_unsup = self._scan_eval = None
@@ -106,7 +107,8 @@ class Trainer:
         # extension; eval batches are never augmented.
         self._augment = (self._build_augment(model_cfg.image_size)
                          if train_cfg.augment_pad > 0 else None)
-        self._augment_key = jax.random.key(train_cfg.seed + 2)
+        self._augment_key = make_key(train_cfg.seed + 2,
+                                     train_cfg.prng_impl)
 
         self.gating_temp = train_cfg.gating_temp_for(model_cfg)
         self.ckpt = (CheckpointManager(checkpoint_dir)
@@ -115,7 +117,7 @@ class Trainer:
         self.metrics = MetricsLogger(metrics_path,
                                      tensorboard_dir=tensorboard_dir)
         self.throughput = Throughput()
-        self._eval_key = jax.random.key(train_cfg.seed + 1)
+        self._eval_key = make_key(train_cfg.seed + 1, train_cfg.prng_impl)
 
     def load_params(self, params) -> None:
         """Swap in an externally-loaded params pytree (e.g. a reference .h5

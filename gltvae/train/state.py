@@ -25,6 +25,28 @@ from gltvae.config import ModelConfig, TrainConfig
 from gltvae.models.ccvae import CCVAE
 
 
+#: CLI/config name -> jax PRNG spec name. 'threefry' is the jax default
+#: (bit-reproducible everywhere — all goldens pin it); 'rbg' lowers to
+#: XLA RngBitGenerator, the fast partitionable TPU generator.
+PRNG_IMPLS = {'threefry': 'threefry2x32', 'rbg': 'rbg'}
+
+
+def make_key(seed: int, impl: str = 'threefry') -> jax.Array:
+    """Typed PRNG key for `impl` ('threefry' | 'rbg')."""
+    if impl not in PRNG_IMPLS:
+        raise ValueError(
+            f'prng_impl must be one of {sorted(PRNG_IMPLS)}, got {impl!r}')
+    return jax.random.key(seed, impl=PRNG_IMPLS[impl])
+
+
+def wrap_key(data: jax.Array) -> jax.Array:
+    """Re-type raw key data, inferring the impl from its shape (threefry
+    keys are 2 uint32 words, rbg keys are 4) — so a checkpoint restored
+    under a different default impl still resumes its own stream."""
+    impl = 'threefry2x32' if data.shape[-1] == 2 else 'rbg'
+    return jax.random.wrap_key_data(data, impl=impl)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray            # int32 scalar
     params: Any
@@ -36,8 +58,7 @@ class TrainState(struct.PyTreeNode):
         key so every step (and every restart from a checkpoint) draws a
         deterministic, distinct stream. Stored as raw key data because
         typed PRNG keys don't serialize through Orbax/numpy."""
-        return jax.random.fold_in(jax.random.wrap_key_data(self.rng),
-                                  self.step)
+        return jax.random.fold_in(wrap_key(self.rng), self.step)
 
 
 def keras_adam(lr: float, b1: float = 0.9, b2: float = 0.999,

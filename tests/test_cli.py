@@ -133,3 +133,15 @@ def test_render_cli_smoke(tmp_path, monkeypatch):
     render.main()
     import os
     assert os.path.getsize(out) > 1000
+
+
+def test_prng_flag_plumbs_to_train_config():
+    a = cli.parse_args(['--prng', 'rbg'])
+    _, t, _ = cli.build_configs(a, sup=1.0)
+    assert t.prng_impl == 'rbg'
+    # default stays the bit-reproducible parity impl
+    a = cli.parse_args([])
+    _, t, _ = cli.build_configs(a, sup=1.0)
+    assert t.prng_impl == 'threefry'
+    with pytest.raises(SystemExit):
+        cli.parse_args(['--prng', 'philox'])

@@ -65,6 +65,12 @@ def parse_args(argv=None):
     p.add_argument('--compute-dtype', default='float32',
                    choices=['float32', 'bfloat16'])
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--prng', default='threefry',
+                   choices=['threefry', 'rbg'],
+                   help='PRNG implementation: threefry (default; '
+                        'bit-reproducible across backends) or rbg (XLA '
+                        'RngBitGenerator — ~6%% faster train step on '
+                        'TPU, same accuracy)')
     p.add_argument('--debug-nans', action='store_true',
                    help='enable jax debug_nans (replaces the reference '
                         'NaN-gate sys.exit guard with precise tracing)')
@@ -136,6 +142,7 @@ def build_configs(args, sup):
     train_cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, perc_supervision=sup,
                             gating_reg=args.l1_reg, seed=args.seed,
+                            prng_impl=args.prng,
                             deterministic_eval=args.deterministic_eval,
                             augment_pad=args.augment_pad)
     split_overrides = {k: v for k, v in
