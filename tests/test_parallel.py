@@ -115,3 +115,41 @@ def test_global_batch_4096_shapes_compile(mesh):
     lowered = sup.lower(shard_state(state, mesh),
                         *shard_batch((x, y), mesh), 1.0)
     assert lowered is not None
+
+
+def test_parallel_step_with_rbg_prng(mesh):
+    """--prng rbg on the mesh: RngBitGenerator is the partitionable
+    TPU-fast generator, so the sharded step must compile and run with a
+    4-word key threaded through state. rbg draws are not guaranteed
+    sharding-invariant (unlike threefry), so this asserts execution and
+    replication, not bit-equality with the single-device run."""
+    from gltvae.train.state import make_key
+    from gltvae.parallel.dp import (make_parallel_mixed_scan_train_step,
+                                    shard_stacked_batch)
+    model = CCVAE(MODEL)
+    cfg = TrainConfig(batch_size=16, lr=1e-3, classifier_mc_samples=4,
+                      prng_impl='rbg')
+    state = create_train_state(model, cfg, make_key(0, 'rbg'),
+                               mu_init=mu_init())
+    assert state.rng.shape[-1] == 4
+    state = shard_state(state, mesh)
+    sup, unsup = make_parallel_train_steps(model, cfg, mesh, donate=False)
+    x, y = shard_batch(batch(), mesh)
+    state, m = sup(state, x, y, 1.0)
+    assert np.isfinite(float(m['loss']))
+    state, m = unsup(state, x, y, 1.0)
+    assert np.isfinite(float(m['loss']))
+    leaf = jax.tree.leaves(state.params['encoder'])[0]
+    assert leaf.sharding.is_fully_replicated
+
+    # the semi-sup mixed lax.cond scan — the flagship sup=0.2/0.5
+    # dispatch — must also carry the rbg key through its scan body
+    mixed = make_parallel_mixed_scan_train_step(model, cfg, mesh,
+                                                donate=False)
+    rng = np.random.RandomState(3)
+    xs = jnp.asarray(rng.randint(0, 256, (4, 16, 16, 16, 3)), jnp.uint8)
+    ys = jnp.asarray((rng.rand(4, 16, 4) > 0.5).astype(np.float32))
+    xs, ys = shard_stacked_batch((xs, ys), mesh)
+    mask = np.asarray([True, False, False, True])
+    state, ms = mixed(state, xs, ys, mask, 1.0)
+    assert np.isfinite(float(ms['loss'][-1]))
