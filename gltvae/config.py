@@ -183,6 +183,13 @@ class DataConfig:
     # Train-split host decode target becomes image_size + 2*augment_pad
     # (see TrainConfig.augment_pad; the device crops back to image_size).
     augment_pad: int = 0
+    # Keep every decoded uint8 image in host RAM after its first decode
+    # (tf.data.cache() counterpart). Epoch 1 pays the JPEG decode; later
+    # epochs serve from memory at memcpy speed, removing the host-decode
+    # bottleneck documented in docs/BENCH_NOTES.md. Full CelebA-64 uint8
+    # is ~1.9 GB, 128px ~7.6 GB. cv2/pil/native backends only (grain
+    # manages its own pipeline).
+    cache_decoded: bool = False
 
 
 MODEL_CONFIG_FILENAME = 'model_config.json'

@@ -151,6 +151,42 @@ def _center_crop(img: np.ndarray) -> np.ndarray:
     return img[top:top + s, left:left + s]
 
 
+class CachedDataset:
+    """In-RAM decoded-image cache around any fetch(idxs) dataset.
+
+    tf.data.cache() counterpart for the uint8 ship path: the first epoch
+    decodes through the wrapped dataset (cv2 / PIL / C++ pool) and stores
+    each image in a preallocated uint8 array; later epochs are pure numpy
+    gathers, so training stops being host-decode-bound after epoch 1
+    (the reference re-decodes every JPEG every epoch,
+    utils_data.py:48-63). Safe under BatchLoader's worker threads without
+    a lock: rows are written before their `_have` flags, a racing
+    double-decode of one index writes identical bytes, and labels come
+    straight from the split.
+    """
+
+    def __init__(self, ds):
+        self.ds = ds
+        self.split = ds.split
+        self._imgs = None                   # allocated on first miss batch
+        self._have = np.zeros(len(ds), dtype=bool)
+
+    def __len__(self):
+        return len(self.ds)
+
+    def fetch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        idxs = np.asarray(idxs)
+        miss = idxs[~self._have[idxs]]
+        if miss.size:
+            imgs, _ = self.ds.fetch(miss)
+            if self._imgs is None:
+                self._imgs = np.empty((len(self.ds),) + imgs.shape[1:],
+                                      dtype=np.uint8)
+            self._imgs[miss] = imgs
+            self._have[miss] = True
+        return self._imgs[idxs], self.split.labels[idxs].astype(np.float32)
+
+
 class CelebAReader:
     """Split construction + gating init + loaders; the TPU-era counterpart
     of the reference CelebAReader (utils_data.py:83-196)."""
@@ -178,6 +214,14 @@ class CelebAReader:
                'valid': _SplitData(ids[n_tr:n_tr + n_va],
                                    labels[n_tr:n_tr + n_va]),
                'test': _SplitData(ids[n_tr + n_va:], labels[n_tr + n_va:])}
+        empty = [m for m in ('train', 'valid', 'test') if len(out[m]) == 0]
+        if empty:
+            raise ValueError(
+                f'split(s) {empty} are empty: the attribute CSV lists '
+                f'{len(ids)} images but the configured split sizes are '
+                f'n_train={n_tr}, n_valid={n_va} (defaults are the official '
+                f'CelebA 162770/19867). For a smaller corpus pass --n-train/'
+                f'--n-valid sized to the corpus.')
         tr = out['train']
         if self.sup_frac == 0.0:
             out['unsup'] = tr
@@ -211,6 +255,10 @@ class CelebAReader:
             modes = ['unsup', 'test', 'sup', 'valid']
         image_dir = os.path.join(self.cfg.data_dir, self.cfg.image_dir)
         backend = self.cfg.decode_backend
+        if backend == 'grain' and self.cfg.cache_decoded:
+            raise ValueError('cache_decoded applies to the cv2/pil/native '
+                             'fetch() datasets; grain manages its own '
+                             'pipeline (drop one of the two flags)')
         if backend == 'native' and self.cfg.device_resize:
             raise ValueError('decode_backend=native always resizes on the '
                              'host (the C++ pool decodes straight into the '
@@ -256,6 +304,8 @@ class CelebAReader:
                                     center_crop=self.cfg.center_crop,
                                     backend=backend,
                                     host_resize=not self.cfg.device_resize)
+        if self.cfg.cache_decoded:
+            ds = CachedDataset(ds)
         return BatchLoader(
             ds, self.batch_size, shuffle=True,
             reshuffle_each_epoch=self.reshuffle, seed=self.seed,

@@ -83,15 +83,25 @@ def make_grain_loader(image_dir: str, ids, labels, *, batch_size: int,
     it = it.batch(batch_size, drop_remainder=drop_remainder)
 
     class _Loader:
-        """BatchLoader-compatible facade (n_s / epoch_batches / __iter__)."""
+        """BatchLoader-compatible facade (n_s / epoch_batches / __iter__).
+
+        Holds ONE persistent DatasetIterator for the loader's lifetime:
+        the trainer calls iter() once per epoch and must resume exactly
+        after the last batch it saw (pipeline.BatchLoader contract). A
+        fresh iterator per __iter__ would restart the repeated stream at
+        grain-epoch 0 — same first batches every epoch, no per-epoch
+        reshuffle."""
         n_s = len(source)
+
+        def __init__(self):
+            self._it = iter(it)
 
         @property
         def epoch_batches(self) -> int:
             return int(np.ceil(self.n_s / batch_size))
 
         def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-            for imgs, ys in it:
+            for imgs, ys in self._it:
                 yield np.asarray(imgs), np.asarray(ys)
 
     return _Loader()

@@ -72,6 +72,29 @@ class TestGrainLoader:
             assert x.shape == (4, 32, 32, 3) and x.dtype == np.uint8
             assert y.shape == (4, 18)
 
+    def test_grain_fresh_iter_resumes_not_restarts(self, jpeg_split):
+        """BatchLoader contract: the trainer calls iter() once per epoch
+        and must resume after the last batch it saw — a fresh iterator
+        restarting the repeated stream at grain-epoch 0 would replay the
+        identical batch sequence every epoch (and never reshuffle)."""
+        from gltvae.data import grain_loader
+        if not grain_loader.is_available():
+            pytest.skip('grain unavailable')
+        image_dir, ids, labels = jpeg_split
+        loader = grain_loader.make_grain_loader(
+            image_dir, ids, labels, batch_size=4, image_size=32, seed=0)
+        epoch1 = [next(iter(loader))[1] for _ in range(3)]
+        epoch2 = [next(iter(loader))[1] for _ in range(3)]
+        assert not all(np.array_equal(a, b)
+                       for a, b in zip(epoch1, epoch2)), \
+            'second epoch replayed the first batch-for-batch'
+        # both epochs still cover the full dataset (12 items, 18-bit rows)
+        for ep in (epoch1, epoch2):
+            rows = np.concatenate(ep)
+            assert rows.shape == (12, 18)
+            assert len({r.tobytes() for r in rows}) == len(
+                {l.tobytes() for l in labels})
+
     def test_grain_sharding(self, jpeg_split):
         from gltvae.data import grain_loader
         if not grain_loader.is_available():

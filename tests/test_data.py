@@ -236,3 +236,64 @@ class TestCelebAReader:
         assert y.shape == (4, 18)
         # gating cache written in reference format
         assert os.path.exists(tmp_path / 'gating_matrix_0.5.npy')
+
+    def test_cache_decoded_identical_batches(self, tmp_path):
+        """cache_decoded epochs must yield byte-identical batches to the
+        uncached path, and epoch 2 must not touch the decoder at all."""
+        from gltvae.data.celeba import CachedDataset, ImageFolderDataset
+        from gltvae.data.celeba import CelebAReader  # noqa: F401
+        self._mini_root(tmp_path, n=30)
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=20, n_valid=5,
+                         n_test=5, num_workers=0)
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+        split = reader.splits['sup']
+        img_dir = os.path.join(str(tmp_path), cfg.image_dir)
+        plain = ImageFolderDataset(img_dir, split, 64)
+        inner = ImageFolderDataset(img_dir, split, 64)
+        calls = []
+        orig_fetch = inner.fetch
+        inner.fetch = lambda idxs: calls.append(len(idxs)) or orig_fetch(idxs)
+        cached = CachedDataset(inner)
+        idx_all = np.arange(len(split))
+        for _ in range(2):                      # two "epochs"
+            for lo in range(0, len(split), 4):
+                idxs = idx_all[lo:lo + 4]
+                xs, ys = cached.fetch(idxs)
+                xs0, ys0 = plain.fetch(idxs)
+                np.testing.assert_array_equal(xs, xs0)
+                np.testing.assert_array_equal(ys, ys0)
+        assert sum(calls) == len(split)         # every image decoded ONCE
+
+    def test_cache_decoded_end_to_end_loader(self, tmp_path):
+        """Reader-built loader with cache_decoded covers the same label
+        multiset per epoch as uncached."""
+        self._mini_root(tmp_path, n=30)
+        base = dict(data_dir=str(tmp_path), n_train=20, n_valid=5,
+                    n_test=5, num_workers=0)
+        outs = []
+        for cache in (False, True):
+            cfg = DataConfig(cache_decoded=cache, **base)
+            loaders = CelebAReader(cfg, sup_frac=1.0, batch_size=4,
+                                   seed=0).setup_data_loaders()
+            it = iter(loaders['sup'])
+            rows = [next(it) for _ in range(loaders['sup'].epoch_batches)]
+            outs.append(np.concatenate([y for _, y in rows]))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_cache_decoded_grain_rejected(self, tmp_path):
+        self._mini_root(tmp_path, n=30)
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=20, n_valid=5,
+                         n_test=5, num_workers=0, decode_backend='grain',
+                         cache_decoded=True)
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+        with pytest.raises(ValueError, match='cache_decoded'):
+            reader.setup_data_loaders()
+
+    def test_empty_split_fails_fast(self, tmp_path):
+        """A corpus smaller than the configured split sizes must raise a
+        clear error at reader construction, not crash batch-less deep in
+        Trainer.evaluate (the default n_train is the official 162770)."""
+        self._mini_root(tmp_path, n=30)
+        cfg = DataConfig(data_dir=str(tmp_path), num_workers=0)  # defaults
+        with pytest.raises(ValueError, match='--n-train'):
+            CelebAReader(cfg, sup_frac=0.5, batch_size=4, seed=0)

@@ -38,17 +38,22 @@ def make_corpus(root, n, size=(218, 178)):
     return paths
 
 
-def bench_training_loader(root, n, out_size, batch_size, backend, workers):
+def bench_training_loader(root, n, out_size, batch_size, backend, workers,
+                          cache_decoded=False):
     """images/sec through the EXACT loader stack train.py uses for
     --decode-backend: CelebAReader -> (BatchLoader worker threads |
     native C++ pool | Grain iterator) -> stacked uint8 batches. This is
-    the e2e-relevant number (round 2 measured e2e host-decode-bound)."""
+    the e2e-relevant number (round 2 measured e2e host-decode-bound).
+
+    cache_decoded warms a FULL epoch first so the timed loop measures
+    the steady-state (epoch 2+) in-RAM cached path."""
     from gltvae.config import DataConfig
     from gltvae.data.celeba import CelebAReader
     nv = max(1, n // 8)
     cfg = DataConfig(data_dir=root, image_size=out_size,
                      n_train=n - 2 * nv, n_valid=nv, n_test=nv,
-                     num_workers=workers, decode_backend=backend)
+                     num_workers=workers, decode_backend=backend,
+                     cache_decoded=cache_decoded)
     try:
         reader = CelebAReader(cfg, sup_frac=1.0, batch_size=batch_size)
         loader = reader.setup_data_loaders()['sup']
@@ -56,8 +61,8 @@ def bench_training_loader(root, n, out_size, batch_size, backend, workers):
         return None          # backend unavailable
     it = iter(loader)
     nb = loader.epoch_batches
-    for _ in range(min(2, nb)):
-        next(it)             # warm workers / prefetch queue
+    for _ in range(nb if cache_decoded else min(2, nb)):
+        next(it)             # warm workers / prefetch (+ fill the cache)
     total = 0
     t0 = time.perf_counter()
     for _ in range(nb * 3):
@@ -170,6 +175,9 @@ def main():
             results[f'train-path {backend} x{args.threads}'] = \
                 bench_training_loader(d, args.n, args.out_size, bs,
                                       backend, args.threads)
+        results['train-path cv2 + cache_decoded (epoch 2+)'] = \
+            bench_training_loader(d, args.n, args.out_size, bs,
+                                  'cv2', args.threads, cache_decoded=True)
     if args.device_resize:
         results[f'ship{args.out_size}px+step (host resize)'] = \
             bench_ship_and_step(args.out_size, full_res=False)

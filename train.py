@@ -107,6 +107,10 @@ def parse_args(argv=None):
                    help="host decode path: 'native' = the C++ libjpeg "
                         "pool (make -C native), 'grain' = Google Grain; "
                         "'auto' = cv2 with PIL fallback")
+    p.add_argument('--cache-decoded', action='store_true',
+                   help='keep every decoded uint8 image in host RAM after '
+                        'its first decode (CelebA-64 ~1.9 GB): epoch 1 '
+                        'pays JPEG decode, later epochs are memcpy-fast')
     p.add_argument('--n-train', type=int, default=None,
                    help='train-split size (default: official 162770, '
                         'utils_data.py:87-91); set for dataset subsets')
@@ -155,6 +159,7 @@ def build_configs(args, sup):
                           num_workers=args.num_workers,
                           decode_backend=args.decode_backend,
                           augment_pad=args.augment_pad,
+                          cache_decoded=args.cache_decoded,
                           **split_overrides)
     return model_cfg, train_cfg, data_cfg
 
