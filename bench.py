@@ -285,6 +285,11 @@ def main():
         except Exception:
             return None
 
+    if args.semi_sup_period > 1 and args.scan <= 1:
+        raise SystemExit('--semi-sup-period benches the MIXED scan chunk '
+                         'and requires --scan > 1 (with scan<=1 the plain '
+                         'sup per-step path would run but be labeled '
+                         'semi-sup)')
     imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
         scan=args.scan, image_size=args.image_size,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import csv
 import os
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -159,10 +160,12 @@ class CachedDataset:
     each image in a preallocated uint8 array; later epochs are pure numpy
     gathers, so training stops being host-decode-bound after epoch 1
     (the reference re-decodes every JPEG every epoch,
-    utils_data.py:48-63). Safe under BatchLoader's worker threads without
-    a lock: rows are written before their `_have` flags, a racing
-    double-decode of one index writes identical bytes, and labels come
-    straight from the split.
+    utils_data.py:48-63). Thread-safety under BatchLoader's workers: the
+    one-time array allocation is double-checked under a lock (a bare
+    `is None` check could let a second worker rebind `_imgs` and orphan
+    already-cached rows whose `_have` flags stay set); after that no
+    lock is needed — rows are written before their `_have` flags and a
+    racing double-decode of one index writes identical bytes.
     """
 
     def __init__(self, ds):
@@ -170,6 +173,7 @@ class CachedDataset:
         self.split = ds.split
         self._imgs = None                   # allocated on first miss batch
         self._have = np.zeros(len(ds), dtype=bool)
+        self._alloc_lock = threading.Lock()
 
     def __len__(self):
         return len(self.ds)
@@ -180,8 +184,10 @@ class CachedDataset:
         if miss.size:
             imgs, _ = self.ds.fetch(miss)
             if self._imgs is None:
-                self._imgs = np.empty((len(self.ds),) + imgs.shape[1:],
-                                      dtype=np.uint8)
+                with self._alloc_lock:
+                    if self._imgs is None:
+                        self._imgs = np.empty(
+                            (len(self.ds),) + imgs.shape[1:], dtype=np.uint8)
             self._imgs[miss] = imgs
             self._have[miss] = True
         return self._imgs[idxs], self.split.labels[idxs].astype(np.float32)
@@ -291,6 +297,7 @@ class CelebAReader:
                 image_dir, split.ids, split.labels,
                 batch_size=self.batch_size,
                 image_size=size, seed=self.seed,
+                reshuffle_each_epoch=self.reshuffle,
                 num_workers=self.num_workers,
                 center_crop=self.cfg.center_crop)
         if backend == 'native':

@@ -60,21 +60,31 @@ class _DecodeMap:
 def make_grain_loader(image_dir: str, ids, labels, *, batch_size: int,
                       image_size: int = 64, seed: int = 0,
                       shuffle: bool = True,
+                      reshuffle_each_epoch: bool = True,
                       num_workers: int = 0,
                       center_crop: bool = False,
                       shard_options=None,
                       drop_remainder: bool = False):
     """grain.DatasetIterator yielding (uint8 [B,H,W,3], f32 [B,y]) batches,
     repeating indefinitely (epoch accounting is the trainer's job, as in
-    gltvae.data.pipeline.BatchLoader)."""
+    gltvae.data.pipeline.BatchLoader).
+
+    reshuffle_each_epoch=False (the --parity loader quirk, reference
+    utils_data.py:39-40) bakes ONE seeded permutation into the source
+    order instead of grain's per-epoch reshuffle, so every epoch replays
+    the same fixed sequence like BatchLoader's shuffle-once mode."""
     if not _GRAIN:
         raise RuntimeError('grain is not installed')
+    if shuffle and not reshuffle_each_epoch:
+        perm = np.random.RandomState(seed).permutation(len(list(ids)))
+        ids = [list(ids)[i] for i in perm]
+        labels = np.asarray(labels)[perm]
     source = _DecodeMap(image_dir, ids, labels, image_size,
                         center_crop=center_crop)
     ds = grain.MapDataset.source(source)
     if shard_options is not None:
         ds = ds[shard_options.shard_index::shard_options.shard_count]
-    if shuffle:
+    if shuffle and reshuffle_each_epoch:
         ds = ds.shuffle(seed=seed)
     ds = ds.repeat()
     it = ds.to_iter_dataset(

@@ -166,10 +166,14 @@ class Trainer:
 
     def _build_augment(self, out_size: int):
         """Jitted device-side augmentation for per-step [B,...] and
-        stacked [n,B,...] uint8 batches. Under a mesh the kernel runs
-        per-shard via shard_map (a Pallas call is not auto-partitioned),
-        with the key decorrelated across shards by folding in the data
-        axis index."""
+        stacked [n,B,...] uint8 batches. The per-dispatch key is derived
+        INSIDE the jit by folding the (device-resident) train step count
+        into a constant base key — an eager host-side jax.random.split
+        here would cost one extra tiny-dispatch per training dispatch,
+        the exact overhead the scan path amortizes away. Under a mesh
+        the kernel runs per-shard via shard_map (a Pallas call is not
+        auto-partitioned), with the key further decorrelated across
+        shards by folding in the data axis index."""
         from gltvae.ops.pallas.preprocess import fused_augment
 
         def aug(u8, key):
@@ -182,12 +186,15 @@ class Trainer:
             return fused_augment(u8, key, out_size)
 
         if self.mesh is None:
-            return jax.jit(aug, static_argnums=())
+            def stepped(u8, base_key, step):
+                return aug(u8, jax.random.fold_in(base_key, step))
+            return jax.jit(stepped)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from gltvae.parallel.mesh import DATA_AXIS
 
-        def sharded(u8, key):
+        def sharded(u8, base_key, step):
+            key = jax.random.fold_in(base_key, step)
             spec = P(None, DATA_AXIS) if u8.ndim == 5 else P(DATA_AXIS)
 
             def body(u8s, k):
@@ -257,6 +264,7 @@ class Trainer:
                           if 'unsup' in loaders else None)
             pending_gates = []
             t_epoch = time.perf_counter()
+            epoch_imgs0 = self.throughput.images_total
 
             scan_on = self._scan_sup is not None
             # semi-sup interleaves (period >= 2, i.e. sup <= 0.5 — the
@@ -282,9 +290,8 @@ class Trainer:
                     xs, ys = self._place_stacked((np.stack(bx),
                                                   np.stack(by)))
                     if self._augment is not None:
-                        self._augment_key, sub = jax.random.split(
-                            self._augment_key)
-                        xs = self._augment(xs, sub)
+                        xs = self._augment(xs, self._augment_key,
+                                           self.state.step)
                     if mixed:
                         self.state, ms = self._get_mixed_scan()(
                             self.state, xs, ys,
@@ -300,9 +307,8 @@ class Trainer:
                     x, y = self._place(
                         next(sup_iter if chunk[0] else unsup_iter))
                     if self._augment is not None:
-                        self._augment_key, sub = jax.random.split(
-                            self._augment_key)
-                        x = self._augment(x, sub)
+                        x = self._augment(x, self._augment_key,
+                                          self.state.step)
                     step_fn = (self._sup_step if chunk[0]
                                else self._unsup_step)
                     self.state, ms = step_fn(self.state, x, y,
@@ -342,9 +348,13 @@ class Trainer:
             else:
                 val_acc = val_metric = -np.inf
             epoch_time = time.perf_counter() - t_epoch
+            # per-EPOCH e2e rate (train images this epoch / epoch wall
+            # incl. eval+ckpt) — the cumulative meter decays as fixed
+            # per-epoch costs accrue and misreads next to the epoch time
+            epoch_imgs = self.throughput.images_total - epoch_imgs0
             logger.info('[Epoch %03d] Val Acc %.3f (%.1fs, %.0f img/s)',
                         epoch, val_acc, epoch_time,
-                        self.throughput.images_per_sec)
+                        epoch_imgs / epoch_time if epoch_time > 0 else 0.0)
             history.append({'epoch': epoch, 'val_accuracy': val_acc,
                             'val_metric': val_metric,
                             'epoch_time': epoch_time})

@@ -32,10 +32,19 @@ class MetricsLogger:
         self._header_written = bool(path and os.path.exists(path)
                                     and os.path.getsize(path) > 0)
         # Optional TensorBoard event stream alongside the CSV (SURVEY §5
-        # metrics plan). TF import + writer creation are deferred to the
-        # first flush so runs without --tensorboard never pay them.
+        # metrics plan). Writer creation is deferred to the first flush
+        # so runs without --tensorboard never pay it — but the TF import
+        # is probed NOW so a missing tensorflow fails before minutes of
+        # compile/training, not at the first mid-run flush.
         self.tensorboard_dir = tensorboard_dir
         self._tb_writer = None
+        if tensorboard_dir:
+            try:
+                import tensorflow  # noqa: F401  (CPU-only event writer)
+            except ImportError as e:
+                raise RuntimeError(
+                    '--tensorboard needs tensorflow for the event writer '
+                    '(CSV metrics work without it)') from e
 
     def _tb(self):
         if self._tb_writer is None and self.tensorboard_dir:
@@ -103,6 +112,11 @@ class Throughput:
             self._images = 0
         if self._count > self.warmup:
             self._images += batch_images
+
+    @property
+    def images_total(self) -> int:
+        """Images counted since warmup (for per-epoch deltas)."""
+        return self._images
 
     @property
     def images_per_sec(self) -> float:

@@ -95,6 +95,30 @@ class TestGrainLoader:
             assert len({r.tobytes() for r in rows}) == len(
                 {l.tobytes() for l in labels})
 
+    def test_grain_shuffle_once_replays_epochs(self, jpeg_split):
+        """reshuffle_each_epoch=False (--parity loader quirk): every
+        epoch replays ONE fixed seeded permutation, like BatchLoader's
+        shuffle-once mode mirroring reference utils_data.py:39-40."""
+        from gltvae.data import grain_loader
+        if not grain_loader.is_available():
+            pytest.skip('grain unavailable')
+        image_dir, ids, labels = jpeg_split
+        loader = grain_loader.make_grain_loader(
+            image_dir, ids, labels, batch_size=4, image_size=32, seed=0,
+            reshuffle_each_epoch=False)
+        it = iter(loader)
+        epoch1 = [next(it)[1] for _ in range(3)]
+        epoch2 = [next(it)[1] for _ in range(3)]
+        for a, b in zip(epoch1, epoch2):
+            np.testing.assert_array_equal(a, b)
+        # still shuffled (not source order) and full coverage
+        rows = np.concatenate(epoch1)
+        assert rows.shape == (12, 18)
+        assert len({r.tobytes() for r in rows}) == len(
+            {l.tobytes() for l in labels})
+        assert not all(np.array_equal(rows[i], labels[i])
+                       for i in range(len(labels)))
+
     def test_grain_sharding(self, jpeg_split):
         from gltvae.data import grain_loader
         if not grain_loader.is_available():

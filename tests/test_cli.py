@@ -145,3 +145,25 @@ def test_prng_flag_plumbs_to_train_config():
     assert t.prng_impl == 'threefry'
     with pytest.raises(SystemExit):
         cli.parse_args(['--prng', 'philox'])
+
+
+def test_result_json_test_only_preserves_history(tmp_path):
+    """A --do-test-only rerun must refresh test_accuracy without erasing
+    the training history/throughput the original run recorded (consumed
+    by tools/parity_head2head.py)."""
+    import json
+    import os
+    d = str(tmp_path)
+    cli._write_result_json(
+        d, {'history': [1, 2], 'best_val_accuracy': 0.7,
+            'images_per_sec': 123.0}, 0.61)
+    cli._write_result_json(d, None, 0.59)     # test-only rerun
+    with open(os.path.join(d, 'result.json')) as f:
+        payload = json.load(f)
+    assert payload['test_accuracy'] == 0.59
+    assert payload['history'] == [1, 2]
+    assert payload['images_per_sec'] == 123.0
+    # a no-op invocation (nothing ran) leaves the record untouched
+    cli._write_result_json(d, None, None)
+    with open(os.path.join(d, 'result.json')) as f:
+        assert json.load(f) == payload

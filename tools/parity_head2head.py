@@ -199,10 +199,17 @@ def write_report(args, results):
         c = r['compare']
 
         def fmt(v):
-            return ', '.join(f'{x:.3f}' for x in v)
+            # a leg can finish training yet yield no parseable test
+            # accuracy (aborted eval, log-format drift) — keep the report
+            # writable instead of crashing after hours of runs
+            if v is None:
+                return 'n/a'
+            if isinstance(v, (int, float)):
+                return f'{v:.3f}'
+            return ', '.join('n/a' if x is None else f'{x:.3f}' for x in v)
         lines.append(
-            f"| {tag} | {c['test_ref']:.3f} | {c['test_gltvae']:.3f} | "
-            f"{c['test_delta']:.3f} | {fmt(c['val_tail_ref'])} | "
+            f"| {tag} | {fmt(c['test_ref'])} | {fmt(c['test_gltvae'])} | "
+            f"{fmt(c['test_delta'])} | {fmt(c['val_tail_ref'])} | "
             f"{fmt(c['val_tail_gltvae'])} | "
             f"{'PASS' if c['parity'] else 'FAIL'} |")
     lines += [

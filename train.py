@@ -273,10 +273,23 @@ def _write_result_json(param_dir, result, test_accuracy):
     to the checkpoints — consumed by tools/parity_head2head.py and handy
     for any offline analysis; the reference leaves this only in its
     free-text ./logs."""
+    path = os.path.join(param_dir, 'result.json')
+    if result is None and test_accuracy is None:
+        return                               # nothing ran; keep any record
     payload = {'test_accuracy': test_accuracy}
     if result is not None:
         payload.update(result)
-    with open(os.path.join(param_dir, 'result.json'), 'w') as f:
+    elif os.path.exists(path):
+        # test-only rerun: keep the original training run's history /
+        # throughput record, only refresh the test accuracy
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prior = {}
+        prior.update(payload)
+        payload = prior
+    with open(path, 'w') as f:
         json.dump(payload, f, indent=2, default=float)
 
 
