@@ -114,6 +114,7 @@ class Trainer:
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
         self._steps_saved: set = set()  # steps persisted by THIS run
+        self._gating_hist = None        # lazy {epoch: mu} snapshot store
         self.metrics = MetricsLogger(metrics_path,
                                      tensorboard_dir=tensorboard_dir)
         self.throughput = Throughput()
@@ -367,6 +368,12 @@ class Trainer:
             # gating temperature decay (learnable only; gated_ccvae.py:403-406)
             if self.model.cfg.gate_type == 'learnable':
                 self.gating_temp *= cfg.gating_temp_decay
+                # per-epoch μ snapshot (SURVEY §5 metrics plan:
+                # 'gate-matrix snapshots') — one [epochs, zc, y] stack for
+                # offline gate-evolution analysis; best/last exports stay
+                # the reference-compatible npy/csv
+                if param_dir is not None:
+                    self._snapshot_gating(param_dir, epoch)
 
         # 'last' carries the FINAL epoch's metric (not the best one), so
         # Orbax best_step() keeps pointing at the genuinely best state and
@@ -382,6 +389,25 @@ class Trainer:
         return {'best_val_accuracy': best_val_acc,
                 'best_val_metric': best_metric, 'history': history,
                 'images_per_sec': self.throughput.images_per_sec}
+
+    def _snapshot_gating(self, param_dir: str, epoch: int) -> None:
+        """Append this epoch's μ to gating_history.npz ([n, zc, y] stack
+        + epoch index). Rewritten whole each epoch (an 18×18 f32 matrix
+        is ~1.3 KB); on --resume the existing stack is extended, and a
+        re-run epoch simply overwrites its slot."""
+        path = os.path.join(param_dir, 'gating_history.npz')
+        if self._gating_hist is None:
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    self._gating_hist = {int(e): m for e, m in
+                                         zip(z['epochs'], z['mu'])}
+            else:
+                self._gating_hist = {}
+        self._gating_hist[epoch] = np.asarray(
+            jax.device_get(self.state.params['mu']), np.float32)
+        eps = sorted(self._gating_hist)
+        np.savez(path, epochs=np.asarray(eps, np.int32),
+                 mu=np.stack([self._gating_hist[e] for e in eps]))
 
     def _save(self, param_dir: Optional[str], model_id: str, metrics: dict):
         metrics = {k: v for k, v in metrics.items() if np.isfinite(v)}

@@ -158,3 +158,31 @@ def test_metrics_summary_tool(tmp_path):
     png = tmp_path / 'c.png'
     main([str(path), '--plot', str(png)])
     assert png.exists()
+
+
+def test_metrics_summary_gating_history(tmp_path):
+    """--gating-history folds the Trainer's per-epoch μ snapshot stack
+    into off-diagonal-mass / movement rows and a companion plot."""
+    import csv as _csv
+    path = tmp_path / 'metrics.csv'
+    cols = ['c_sum', 'elbo', 'epoch', 'kl', 'log_pxz', 'log_qy_x',
+            'log_qy_zc', 'loss', 'step', 'supervised', 'time']
+    with open(path, 'w', newline='') as f:
+        w = _csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerow({c: 1.0 for c in cols})
+    rng = np.random.RandomState(0)
+    mus = (np.cumsum(rng.rand(4, 6, 6) * 0.1, axis=0)
+           + np.eye(6)[None] * 0.5).astype(np.float32)
+    npz = tmp_path / 'gating_history.npz'
+    np.savez(npz, epochs=np.arange(4, dtype=np.int32), mu=mus)
+    from tools.metrics_summary import main, summarize_gating_history
+    png = tmp_path / 'c.png'
+    main([str(path), '--plot', str(png), '--gating-history', str(npz)])
+    assert (tmp_path / 'c_gating.png').exists()
+    rows = summarize_gating_history(str(npz))
+    assert len(rows) == 4
+    assert rows[0][3] == 0.0                       # no Δ at first epoch
+    assert all(r[3] > 0 for r in rows[1:])         # μ moves each epoch
+    off = ~np.eye(6, dtype=bool)
+    np.testing.assert_allclose(rows[2][1], mus[2][off].mean(), rtol=1e-6)

@@ -191,6 +191,11 @@ def test_trainer_end_to_end_tiny(tmp_path):
     assert os.path.exists(tmp_path / 'params' /
                           'learned_gating_matrix_best.npy')
     assert os.path.exists(tmp_path / 'metrics.csv')
+    # per-epoch μ snapshots (SURVEY §5 gate-matrix snapshots)
+    with np.load(tmp_path / 'params' / 'gating_history.npz') as z:
+        assert list(z['epochs']) == [0, 1]
+        assert z['mu'].shape == (2, MODEL.z_classify, MODEL.y_dim)
+        assert not np.array_equal(z['mu'][0], z['mu'][1])  # μ trained
 
 
 def test_single_epoch_run_completes(tmp_path):

@@ -62,20 +62,27 @@ def mu_for(models_root, sup, gate_type, gate_subtype):
     raise FileNotFoundError(f'no gating cache {cache} for fixed/inferred')
 
 
+def make_loaders(data_cfg, batch_size=64):
+    """One reader for the whole sweep: with cache_decoded the test split
+    decodes once and the other 8 checkpoint evals read from RAM."""
+    from gltvae.data.celeba import CelebAReader
+    reader = CelebAReader(data_cfg, sup_frac=1.0, batch_size=batch_size,
+                          reshuffle_each_epoch=False)
+    return reader.setup_data_loaders()
+
+
 def evaluate_checkpoint(param_dir, mu, data_cfg, batch_size=64,
-                        model_id='best', seed=0):
+                        model_id='best', seed=0, loaders=None):
     """h5 dir -> test accuracy via the framework's own Trainer.test."""
     from gltvae.config import ModelConfig, TrainConfig
-    from gltvae.data.celeba import CelebAReader
     from gltvae.train.loop import Trainer
     from gltvae.utils.h5_import import load_reference_checkpoint
 
     params = load_reference_checkpoint(param_dir, model_id, mu=mu)
     model_cfg = ModelConfig()          # reference CelebA-64 architecture
     train_cfg = TrainConfig(batch_size=batch_size, seed=seed)
-    reader = CelebAReader(data_cfg, sup_frac=1.0, batch_size=batch_size,
-                          reshuffle_each_epoch=False)
-    loaders = reader.setup_data_loaders()
+    if loaders is None:
+        loaders = make_loaders(data_cfg, batch_size)
     trainer = Trainer(model_cfg, train_cfg,
                       mu_init=np.asarray(params['mu']))
     trainer.load_params(params)
@@ -95,14 +102,23 @@ def main(argv=None):
     p.add_argument('--only', default=None,
                    help='substring filter on run-dir names')
     p.add_argument('--out-json', default=None)
+    p.add_argument('--platform', default='auto',
+                   choices=['auto', 'cpu', 'tpu', 'axon'],
+                   help="jax backend override ('cpu' runs the sweep "
+                        "without the TPU tunnel)")
     args = p.parse_args(argv)
+    if args.platform != 'auto':
+        import jax
+        jax.config.update('jax_platforms', args.platform)
 
     from gltvae.config import DataConfig
     overrides = {k: v for k, v in (('n_train', args.n_train),
                                    ('n_valid', args.n_valid),
                                    ('n_test', args.n_test))
                  if v is not None}
-    data_cfg = DataConfig(data_dir=args.data_dir, **overrides)
+    data_cfg = DataConfig(data_dir=args.data_dir, cache_decoded=True,
+                          **overrides)
+    loaders = make_loaders(data_cfg, args.batch_size)
 
     results = {}
     for name in sorted(os.listdir(args.models_dir)):
@@ -118,7 +134,8 @@ def main(argv=None):
         try:
             mu = mu_for(args.models_dir, sup, gate_type, gate_subtype)
             acc = evaluate_checkpoint(param_dir, mu, data_cfg,
-                                      args.batch_size, args.model_id)
+                                      args.batch_size, args.model_id,
+                                      loaders=loaders)
             results[name] = {'test_accuracy': float(acc), 'sup': sup,
                              'gate': f'{gate_type}/{gate_subtype}'}
             print(f'{name:40s} acc={acc:.3f}')

@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument('metrics_csv')
     p.add_argument('--plot', default=None, metavar='PNG',
                    help='render loss/ELBO-decomposition curves')
+    p.add_argument('--gating-history', default=None, metavar='NPZ',
+                   help='per-epoch gate-evolution summary from the '
+                        'gating_history.npz a learnable run writes next '
+                        'to its checkpoints (with --plot, also renders '
+                        '<PNG stem>_gating.png)')
     args = p.parse_args(argv)
 
     rows = load(args.metrics_csv)
@@ -101,7 +106,53 @@ def main(argv=None):
         fig.tight_layout()
         fig.savefig(args.plot, dpi=120)
         print(f'wrote {args.plot}')
+
+    if args.gating_history:
+        summarize_gating_history(args.gating_history, args.plot)
     return epochs
+
+
+def summarize_gating_history(npz_path, plot=None):
+    """Gate evolution across epochs: off-diagonal mass, count of strong
+    off-diagonal gates (>0.5 — Quantitative_analysis.py's top threshold),
+    and per-epoch μ movement. Input: the [n, zc, y] stack the Trainer
+    snapshots each learnable epoch."""
+    import numpy as np
+    with np.load(npz_path) as z:
+        eps, mus = z['epochs'], z['mu']
+    off = ~np.eye(mus.shape[1], mus.shape[2], dtype=bool)
+    print(f'\ngating history: {len(eps)} epochs, μ {mus.shape[1:]}')
+    print('  '.join(f'{h:>10s}' for h in
+                    ['epoch', 'offd_mean', 'offd>0.5', 'max|Δμ|']))
+    prev = None
+    rows = []
+    for e, m in zip(eps, mus):
+        d = 0.0 if prev is None else float(np.abs(m - prev).max())
+        rows.append((int(e), float(m[off].mean()),
+                     int((m[off] > 0.5).sum()), d))
+        prev = m
+    shown = rows if len(rows) <= 12 else rows[:5] + [None] + rows[-5:]
+    for r in shown:
+        if r is None:
+            print(f'{"...":>10s}')
+            continue
+        print(f'{r[0]:>10d}  {r[1]:>10.4f}  {r[2]:>10d}  {r[3]:>10.4f}')
+    if plot:
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        axes[0].plot([r[0] for r in rows], [r[1] for r in rows])
+        axes[0].set_title('mean off-diagonal gate μ')
+        axes[1].plot([r[0] for r in rows], [r[3] for r in rows])
+        axes[1].set_title('max |Δμ| per epoch')
+        for ax in axes:
+            ax.set_xlabel('epoch')
+        out = os.path.splitext(plot)[0] + '_gating.png'
+        fig.tight_layout()
+        fig.savefig(out, dpi=120)
+        print(f'wrote {out}')
+    return rows
 
 
 if __name__ == '__main__':
