@@ -267,7 +267,10 @@ def main():
                    help='disable the persistent XLA executable cache '
                         '(cache only cuts compile wall time; the timed '
                         'loops are steady-state either way)')
+    from gltvae.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     import jax
     if not args.no_compilation_cache:

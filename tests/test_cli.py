@@ -167,3 +167,36 @@ def test_result_json_test_only_preserves_history(tmp_path):
     cli._write_result_json(d, None, None)
     with open(os.path.join(d, 'result.json')) as f:
         assert json.load(f) == payload
+
+
+def test_platform_flag_on_every_jax_cli():
+    """--platform {auto,cpu,tpu,axon} must exist on every CLI that can
+    touch the jax backend: site hooks on some hosts force the TPU
+    platform regardless of JAX_PLATFORMS, so config-level override is
+    the only way to run the toolchain TPU-less (utils/platform.py)."""
+    assert cli.parse_args(['--synthetic']).platform == 'auto'
+    assert cli.parse_args(['--platform', 'cpu']).platform == 'cpu'
+
+    from tools.infer import parse_args as infer_args
+    a = infer_args(['--checkpoint', 'c', '--images', 'i', '--output', 'o',
+                    '--platform', 'cpu'])
+    assert a.platform == 'cpu'
+    from tools.export_serving import parse_args as serve_args
+    assert serve_args(['--checkpoint', 'c', '--output', 'o',
+                       '--platform', 'cpu']).platform == 'cpu'
+    from tools.export_h5 import parse_args as h5_args
+    assert h5_args(['--checkpoint', 'c', '--out', 'o',
+                    '--platform', 'cpu']).platform == 'cpu'
+
+
+def test_apply_platform_is_noop_on_auto(monkeypatch):
+    """'auto' must not touch jax.config (the default backend choice)."""
+    from gltvae.utils.platform import apply_platform
+    calls = []
+    import jax
+    monkeypatch.setattr(jax.config, 'update',
+                        lambda *a: calls.append(a))
+    apply_platform('auto')
+    assert calls == []
+    apply_platform('cpu')
+    assert calls == [('jax_platforms', 'cpu')]

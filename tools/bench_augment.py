@@ -37,7 +37,10 @@ def main():
     p.add_argument('--batch', type=int, default=256)
     p.add_argument('--iters', type=int, default=50)
     p.add_argument('--pad', type=int, default=4)
+    from gltvae.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

@@ -158,7 +158,10 @@ def main():
     p.add_argument('--device-resize', action='store_true',
                    help='also bench the host->device ship + train step '
                         'with host-resize vs full-res device-resize')
+    from gltvae.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     with tempfile.TemporaryDirectory() as d:
         paths = make_corpus(d, args.n)

@@ -102,14 +102,10 @@ def main(argv=None):
     p.add_argument('--only', default=None,
                    help='substring filter on run-dir names')
     p.add_argument('--out-json', default=None)
-    p.add_argument('--platform', default='auto',
-                   choices=['auto', 'cpu', 'tpu', 'axon'],
-                   help="jax backend override ('cpu' runs the sweep "
-                        "without the TPU tunnel)")
+    from gltvae.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args(argv)
-    if args.platform != 'auto':
-        import jax
-        jax.config.update('jax_platforms', args.platform)
+    apply_platform(args.platform)
 
     from gltvae.config import DataConfig
     overrides = {k: v for k, v in (('n_train', args.n_train),

@@ -36,11 +36,15 @@ def parse_args(argv=None):
     p.add_argument('--z-dim', type=int, default=45,
                    help='latent size of the trained run (ignored when the '
                         'run dir carries model_config.json)')
+    from gltvae.utils.platform import add_platform_arg
+    add_platform_arg(p)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from gltvae.utils.platform import apply_platform
+    apply_platform(args.platform)
     from gltvae.config import CELEBA_LABELS, CELEBA_EASY_LABELS
     from gltvae.models.ccvae import CCVAE
     from gltvae.utils.h5_export import export_reference_checkpoint

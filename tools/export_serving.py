@@ -47,11 +47,15 @@ def parse_args(argv=None):
                    help='gating-matrix .npy for fixed-mode h5 checkpoints')
     p.add_argument('--platforms', default='cpu,tpu',
                    help='comma-separated export platforms')
+    from gltvae.utils.platform import add_platform_arg
+    add_platform_arg(p)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from gltvae.utils.platform import apply_platform
+    apply_platform(args.platform)
     import jax
     import jax.numpy as jnp
     from gltvae.models.ccvae import CCVAE, Temps

@@ -116,7 +116,10 @@ def main():
     p.add_argument('--dtype', default='bfloat16')
     p.add_argument('--top', type=int, default=30)
     p.add_argument('--unsup', action='store_true')
+    from gltvae.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     import numpy as np
     import jax

@@ -61,6 +61,8 @@ def parse_args(argv=None):
                    help='gating-matrix .npy for fixed-mode h5 checkpoints '
                         'that store no learned_gating_matrix')
     p.add_argument('--seed', type=int, default=0)
+    from gltvae.utils.platform import add_platform_arg
+    add_platform_arg(p)
     return p.parse_args(argv)
 
 
@@ -140,6 +142,8 @@ def make_predict(model, stochastic: bool, temp: float):
 
 def main(argv=None):
     args = parse_args(argv)
+    from gltvae.utils.platform import apply_platform
+    apply_platform(args.platform)
     import jax
     from gltvae.config import CELEBA_LABELS, CELEBA_EASY_LABELS
     from gltvae.models.ccvae import CCVAE

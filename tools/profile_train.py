@@ -21,7 +21,10 @@ def main():
     p.add_argument('--steps', type=int, default=10)
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--dtype', default='bfloat16')
+    from gltvae.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

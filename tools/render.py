@@ -51,7 +51,10 @@ def main():
                         '(conditional mode)')
     p.add_argument('--n', type=int, default=8)
     p.add_argument('--seed', type=int, default=0)
+    from gltvae.utils.platform import add_platform_arg, apply_platform
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

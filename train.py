@@ -120,12 +120,8 @@ def parse_args(argv=None):
     p.add_argument('--tensorboard', default=None, metavar='DIR',
                    help='also write TensorBoard scalar events under '
                         'DIR/<run_name> (CSV metrics are always written)')
-    p.add_argument('--platform', default='auto',
-                   choices=['auto', 'cpu', 'tpu', 'axon'],
-                   help="jax backend override ('cpu' runs the full CLI on "
-                        "a TPU-less host or while the TPU tunnel is down). "
-                        "Applied via jax.config — the JAX_PLATFORMS env "
-                        "var is overridden by site hooks on some hosts")
+    from gltvae.utils.platform import add_platform_arg
+    add_platform_arg(p)
     p.add_argument('--compilation-cache', default='auto', metavar='DIR',
                    help="persistent XLA executable cache dir ('auto' = "
                         "~/.cache/gltvae/xla; 'off' disables); first "
@@ -301,10 +297,9 @@ def _write_result_json(param_dir, result, test_accuracy):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.platform != 'auto':
-        # before ANY backend touch (incl. jax.distributed below)
-        import jax
-        jax.config.update('jax_platforms', args.platform)
+    from gltvae.utils.platform import apply_platform
+    apply_platform(args.platform)   # before ANY backend touch
+                                    # (incl. jax.distributed below)
     dist_flags = (args.dist_coordinator, args.dist_num_processes,
                   args.dist_process_id)
     if any(f is not None for f in dist_flags) and \
