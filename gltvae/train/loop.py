@@ -397,17 +397,21 @@ class Trainer:
         re-run epoch simply overwrites its slot."""
         path = os.path.join(param_dir, 'gating_history.npz')
         if self._gating_hist is None:
+            self._gating_hist = {}
             if os.path.exists(path):
-                with np.load(path) as z:
-                    self._gating_hist = {int(e): m for e, m in
-                                         zip(z['epochs'], z['mu'])}
-            else:
-                self._gating_hist = {}
+                try:
+                    with np.load(path) as z:
+                        self._gating_hist = {int(e): m for e, m in
+                                             zip(z['epochs'], z['mu'])}
+                except Exception:   # torn write from a prior crash:
+                    pass            # restart the history, don't kill resume
         self._gating_hist[epoch] = np.asarray(
             jax.device_get(self.state.params['mu']), np.float32)
         eps = sorted(self._gating_hist)
-        np.savez(path, epochs=np.asarray(eps, np.int32),
+        tmp = path + '.tmp.npz'     # .npz suffix: stops savez renaming it
+        np.savez(tmp, epochs=np.asarray(eps, np.int32),
                  mu=np.stack([self._gating_hist[e] for e in eps]))
+        os.replace(tmp, path)       # atomic: never a half-written npz
 
     def _save(self, param_dir: Optional[str], model_id: str, metrics: dict):
         metrics = {k: v for k, v in metrics.items() if np.isfinite(v)}
