@@ -125,3 +125,25 @@ def test_export_h5_cli_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(back),
                     jax.tree.leaves(jax.device_get(state.params))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_infer_cli_mesh_matches_single_device(image_dir, ref_param_dir,
+                                              tmp_path):
+    """--mesh (DP serving over the 8-device CPU mesh) must produce a CSV
+    byte-identical to the single-device deterministic path: params are
+    replicated, the batch shards over 'data', and predict_probs is
+    deterministic given (params, x)."""
+    from tools.infer import main
+    single = tmp_path / 'single.csv'
+    main(['--checkpoint', ref_param_dir, '--images', str(image_dir),
+          '--output', str(single), '--batch-size', '8'])
+    meshed = tmp_path / 'mesh.csv'
+    main(['--checkpoint', ref_param_dir, '--images', str(image_dir),
+          '--output', str(meshed), '--batch-size', '8', '--mesh'])
+    assert open(single).read() == open(meshed).read()
+    # batch size not divisible by the mesh fails fast with a clear error
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match='multiple of the'):
+        main(['--checkpoint', ref_param_dir, '--images', str(image_dir),
+              '--output', str(tmp_path / 'x.csv'), '--batch-size', '6',
+              '--mesh'])

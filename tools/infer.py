@@ -61,6 +61,12 @@ def parse_args(argv=None):
                    help='gating-matrix .npy for fixed-mode h5 checkpoints '
                         'that store no learned_gating_matrix')
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--mesh', action='store_true',
+                   help='data-parallel inference over all visible devices '
+                        '(1-D mesh, params replicated, batch sharded — '
+                        'the serving counterpart of train.py --mesh); '
+                        '--batch-size must be a multiple of the device '
+                        'count')
     from gltvae.utils.platform import add_platform_arg
     add_platform_arg(p)
     return p.parse_args(argv)
@@ -124,9 +130,13 @@ def resolve_model_config(args):
     return dataclasses.replace(cfg, **overrides)
 
 
-def make_predict(model, stochastic: bool, temp: float):
+def make_predict(model, stochastic: bool, temp: float, mesh=None):
     """One jitted call into the SHARED eval protocol
-    (CCVAE.predict_probs — the same path Trainer.evaluate rounds)."""
+    (CCVAE.predict_probs — the same path Trainer.evaluate rounds).
+
+    With a mesh: params/key replicated, batch sharded over 'data', probs
+    replicated back — XLA inserts the gathers; numerically identical to
+    single-device (the model is deterministic given (params, x, key))."""
     import jax
     import jax.numpy as jnp
     from gltvae.models.ccvae import Temps
@@ -137,7 +147,12 @@ def make_predict(model, stochastic: bool, temp: float):
                                    Temps(gating=jnp.float32(temp)),
                                    deterministic=not stochastic)
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+    from gltvae.parallel.dp import batch_sharding, replicated_sharding
+    repl = replicated_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, batch_sharding(mesh), repl),
+                   out_shardings=repl)
 
 
 def main(argv=None):
@@ -169,10 +184,24 @@ def main(argv=None):
     # worker-thread decode overlapping device inference; shuffle=False so
     # batch order is names order, and the wrap-around tail padding keeps
     # every dispatch on the one compiled shape (excess rows discarded)
+    mesh = None
+    if args.mesh:
+        from gltvae.parallel.mesh import create_mesh
+        mesh = create_mesh()
+        n = mesh.devices.size
+        if args.batch_size % n:
+            raise SystemExit(f'--batch-size {args.batch_size} must be a '
+                             f'multiple of the {n}-device mesh')
+        from gltvae.parallel.dp import replicated_sharding
+        # explicit placement: Orbax restores commit to one device, and a
+        # committed array that disagrees with in_shardings is an error
+        params = jax.device_put(params, replicated_sharding(mesh))
+        print(f'mesh inference over {n} devices')
+
     from gltvae.data.pipeline import BatchLoader
     loader = BatchLoader(ds, args.batch_size, shuffle=False,
                          num_workers=args.num_workers)
-    predict = make_predict(model, args.stochastic, args.temp)
+    predict = make_predict(model, args.stochastic, args.temp, mesh=mesh)
     key = jax.random.key(args.seed)
 
     labels = (list(CELEBA_EASY_LABELS) if cfg.y_dim == 18
