@@ -76,8 +76,9 @@ def make_grain_loader(image_dir: str, ids, labels, *, batch_size: int,
     if not _GRAIN:
         raise RuntimeError('grain is not installed')
     if shuffle and not reshuffle_each_epoch:
-        perm = np.random.RandomState(seed).permutation(len(list(ids)))
-        ids = [list(ids)[i] for i in perm]
+        ids_list = list(ids)
+        perm = np.random.RandomState(seed).permutation(len(ids_list))
+        ids = [ids_list[i] for i in perm]
         labels = np.asarray(labels)[perm]
     source = _DecodeMap(image_dir, ids, labels, image_size,
                         center_crop=center_crop)

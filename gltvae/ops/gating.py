@@ -142,8 +142,13 @@ def _npy_sha256(path: str) -> str:
 
 
 def _write_sidecar(cache_npy: str) -> None:
-    with open(cache_npy + '.sha256', 'w') as f:
-        f.write(_npy_sha256(cache_npy) + '\n')
+    try:
+        with open(cache_npy + '.sha256', 'w') as f:
+            f.write(_npy_sha256(cache_npy) + '\n')
+    except OSError:
+        # read-only cache dir (e.g. a reference data mount): the sidecar
+        # is an optimization — next run just re-verifies by recomputation
+        pass
 
 
 def _sidecar_valid(cache_npy: str) -> bool:

@@ -169,12 +169,24 @@ def _augment_kernel(dy_ref, dx_ref, flip_ref, u8_ref, out_ref, *,
                              precision=jax.lax.Precision.HIGHEST) * scale
 
 
+def _draw_crop_flip(key, B: int, H: int, W: int, S: int, flip: bool):
+    """The (dy, dx, flip) draw shared by every augment entry point — the
+    stacked path must produce bit-identical randomness to N separate
+    per-step calls, so the draw lives in exactly one place."""
+    k_y, k_x, k_f = jax.random.split(key, 3)
+    dy = jax.random.randint(k_y, (B,), 0, H - S + 1, dtype=jnp.int32)
+    dx = jax.random.randint(k_x, (B,), 0, W - S + 1, dtype=jnp.int32)
+    fl = (jax.random.bernoulli(k_f, 0.5, (B,)).astype(jnp.int32)
+          if flip else jnp.zeros((B,), jnp.int32))
+    return dy, dx, fl
+
+
 @functools.partial(jax.jit, static_argnames=('out_size', 'interpret',
-                                             'scale'))
+                                             'scale', 'channels'))
 def _fused_augment(u8_flat, dy, dx, flip, out_size: int,
-                   scale: float, interpret: bool):
+                   scale: float, interpret: bool, channels: int = 3):
     B, H, WC = u8_flat.shape
-    C = 3
+    C = channels
     S = out_size
     kernel = functools.partial(_augment_kernel, out_size=S, channels=C,
                                scale=scale)
@@ -202,14 +214,35 @@ def fused_augment(u8: jax.Array, key: jax.Array, out_size: int,
     S = out_size
     if H < S or W < S:
         raise ValueError(f'input {H}x{W} smaller than crop {S}')
-    k_y, k_x, k_f = jax.random.split(key, 3)
-    dy = jax.random.randint(k_y, (B,), 0, H - S + 1, dtype=jnp.int32)
-    dx = jax.random.randint(k_x, (B,), 0, W - S + 1, dtype=jnp.int32)
-    fl = (jax.random.bernoulli(k_f, 0.5, (B,)).astype(jnp.int32)
-          if flip else jnp.zeros((B,), jnp.int32))
+    dy, dx, fl = _draw_crop_flip(key, B, H, W, S, flip)
     out = _fused_augment(u8.reshape(B, H, W * C), dy, dx, fl, S,
-                         float(scale), interpret)
+                         float(scale), interpret, channels=C)
     return out.reshape(B, S, S, C)
+
+
+def fused_augment_stacked(u8: jax.Array, keys: jax.Array, out_size: int,
+                          flip: bool = True, scale: float = 1.0 / 255.0,
+                          interpret: Optional[bool] = None) -> jax.Array:
+    """uint8 [n, B, H, W, C] + per-inner-step keys [n] -> f32
+    [n, B, S, S, C]: bit-identical to n separate
+    `fused_augment(u8[i], keys[i])` calls, but ONE kernel dispatch.
+
+    This is how the scan train path augments a whole chunk while keeping
+    the per-step noise stream — training results stay invariant to
+    --steps-per-dispatch (each inner step draws from its own key exactly
+    as per-step dispatch would)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    n, B, H, W, C = u8.shape
+    S = out_size
+    if H < S or W < S:
+        raise ValueError(f'input {H}x{W} smaller than crop {S}')
+    dy, dx, fl = jax.vmap(
+        lambda k: _draw_crop_flip(k, B, H, W, S, flip))(keys)
+    out = _fused_augment(u8.reshape(n * B, H, W * C), dy.reshape(-1),
+                         dx.reshape(-1), fl.reshape(-1), S,
+                         float(scale), interpret, channels=C)
+    return out.reshape(n, B, S, S, C)
 
 
 def augment_xla(u8: jax.Array, key: jax.Array, out_size: int,
@@ -219,11 +252,7 @@ def augment_xla(u8: jax.Array, key: jax.Array, out_size: int,
     the equivalence oracle and the bench competitor."""
     B, H, W, C = u8.shape
     S = out_size
-    k_y, k_x, k_f = jax.random.split(key, 3)
-    dy = jax.random.randint(k_y, (B,), 0, H - S + 1, dtype=jnp.int32)
-    dx = jax.random.randint(k_x, (B,), 0, W - S + 1, dtype=jnp.int32)
-    fl = (jax.random.bernoulli(k_f, 0.5, (B,)).astype(jnp.int32)
-          if flip else jnp.zeros((B,), jnp.int32))
+    dy, dx, fl = _draw_crop_flip(key, B, H, W, S, flip)
 
     def one(img, y0, x0, f):
         crop = jax.lax.dynamic_slice(img, (y0, x0, 0), (S, S, C))

@@ -167,45 +167,55 @@ class Trainer:
 
     def _build_augment(self, out_size: int):
         """Jitted device-side augmentation for per-step [B,...] and
-        stacked [n,B,...] uint8 batches. The per-dispatch key is derived
-        INSIDE the jit by folding the (device-resident) train step count
-        into a constant base key — an eager host-side jax.random.split
-        here would cost one extra tiny-dispatch per training dispatch,
-        the exact overhead the scan path amortizes away. Under a mesh
-        the kernel runs per-shard via shard_map (a Pallas call is not
-        auto-partitioned), with the key further decorrelated across
-        shards by folding in the data axis index."""
-        from gltvae.ops.pallas.preprocess import fused_augment
+        stacked [n,B,...] uint8 batches. Keys are derived INSIDE the jit
+        by folding the (device-resident) train step count into a constant
+        base key — one fold PER INNER STEP for stacked chunks, so the
+        augmentation noise stream is invariant to --steps-per-dispatch.
+        (An eager host-side jax.random.split here would cost one extra
+        tiny-dispatch per training dispatch, the exact overhead the scan
+        path amortizes away.) Under a mesh the kernel runs per-shard via
+        shard_map (a Pallas call is not auto-partitioned), with the base
+        key decorrelated across shards by folding in the data axis
+        index."""
+        from gltvae.ops.pallas.preprocess import (fused_augment,
+                                                  fused_augment_stacked)
+        import jax.numpy as jnp
 
-        def aug(u8, key):
+        def aug(u8, base_key, step):
+            # stacked scan chunks fold one key PER INNER STEP (step+i), so
+            # the noise stream — and therefore params and metrics.csv —
+            # is invariant to --steps-per-dispatch (bit-identical to the
+            # per-step path; fused_augment_stacked shares its draw)
             if u8.ndim == 5:                     # stacked scan chunk
-                n, b = u8.shape[:2]
-                out = fused_augment(u8.reshape((n * b,) + u8.shape[2:]),
-                                    key, out_size)
-                return out.reshape((n, b, out_size, out_size,
-                                    u8.shape[-1]))
-            return fused_augment(u8, key, out_size)
+                n = u8.shape[0]
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(base_key, step + i)
+                )(jnp.arange(n))
+                return fused_augment_stacked(u8, keys, out_size)
+            return fused_augment(
+                u8, jax.random.fold_in(base_key, step), out_size)
 
         if self.mesh is None:
-            def stepped(u8, base_key, step):
-                return aug(u8, jax.random.fold_in(base_key, step))
-            return jax.jit(stepped)
+            return jax.jit(aug)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from gltvae.parallel.mesh import DATA_AXIS
 
         def sharded(u8, base_key, step):
-            key = jax.random.fold_in(base_key, step)
             spec = P(None, DATA_AXIS) if u8.ndim == 5 else P(DATA_AXIS)
 
-            def body(u8s, k):
-                k = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
-                return aug(u8s, k)
+            def body(u8s, bk, st):
+                # per-shard decorrelation of the BASE key: every mesh
+                # path keys inner step i from fold(fold(base, axis),
+                # step+i), so mesh runs are steps-per-dispatch-invariant
+                # exactly like single-device runs
+                ax = jax.lax.axis_index(DATA_AXIS)
+                return aug(u8s, jax.random.fold_in(bk, ax), st)
             # a pallas_call inside shard_map needs the varying-across-
             # mesh-axes check disabled (its out_shape carries no vma)
-            sm = shard_map(body, mesh=self.mesh, in_specs=(spec, P()),
+            sm = shard_map(body, mesh=self.mesh, in_specs=(spec, P(), P()),
                            out_specs=spec, check_vma=False)
-            return sm(u8, key)
+            return sm(u8, base_key, step)
         return jax.jit(sharded)
 
     def _get_mixed_scan(self):

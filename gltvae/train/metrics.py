@@ -103,10 +103,12 @@ class Throughput:
         self.warmup = warmup_steps
         self._count = 0
         self._images = 0
+        self._images_raw = 0
         self._t0 = None
 
     def step(self, batch_images: int):
         self._count += 1
+        self._images_raw += batch_images
         if self._count == self.warmup + 1:
             self._t0 = time.perf_counter()
             self._images = 0
@@ -115,8 +117,11 @@ class Throughput:
 
     @property
     def images_total(self) -> int:
-        """Images counted since warmup (for per-epoch deltas)."""
-        return self._images
+        """ALL images stepped, warmup included — per-epoch deltas must
+        use this raw counter (epoch wall time includes the warmup
+        dispatches, so excluding their images would understate epoch-0
+        rates; the warmup gate only serves the run-level mean)."""
+        return self._images_raw
 
     @property
     def images_per_sec(self) -> float:

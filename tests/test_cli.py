@@ -200,3 +200,16 @@ def test_apply_platform_is_noop_on_auto(monkeypatch):
     assert calls == []
     apply_platform('cpu')
     assert calls == [('jax_platforms', 'cpu')]
+
+
+def test_head2head_compare_missing_accuracy_is_na():
+    """A leg with no parseable test accuracy must yield parity=None
+    (n/a), never a delta computed against 0.0."""
+    from tools.parity_head2head import compare
+    ref = {'test_accuracy': None, 'val_accuracy': [0.5, 0.6]}
+    glt = {'test_accuracy': 0.72, 'val_accuracy': [0.5, 0.61]}
+    c = compare(ref, glt, tol=0.06)
+    assert c['parity'] is None and c['test_delta'] is None
+    both = compare({'test_accuracy': 0.70, 'val_accuracy': [0.6]},
+                   glt, tol=0.06)
+    assert both['parity'] is True and abs(both['test_delta'] - 0.02) < 1e-9

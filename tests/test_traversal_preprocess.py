@@ -197,3 +197,63 @@ class TestFusedAugment:
         res = t.train(lds)
         assert int(t.state.step) == 2
         assert np.isfinite(res['best_val_accuracy'])
+
+
+class TestStackedAugment:
+    """fused_augment_stacked: the scan-chunk augmentation path must keep
+    the per-step noise stream — results invariant to steps-per-dispatch."""
+
+    def test_stacked_equals_per_step_calls(self, rng):
+        from gltvae.ops.pallas.preprocess import (fused_augment,
+                                                  fused_augment_stacked)
+        u8 = jnp.asarray(rng.randint(0, 256, (3, 4, 20, 20, 3),
+                                     dtype=np.uint8))
+        keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(7), i)
+                        )(jnp.arange(3))
+        stacked = np.asarray(fused_augment_stacked(u8, keys, 16))
+        for i in range(3):
+            np.testing.assert_array_equal(
+                stacked[i], np.asarray(fused_augment(u8[i], keys[i], 16)))
+
+    def test_trainer_scan_matches_per_step_with_augment(self):
+        """END-TO-END: equivalent params after an augmented epoch whether
+        dispatched per-step or as one scan chunk — the SAME crops/flips
+        per step (stacked folds one key per inner step), so the only
+        remaining delta is scan-vs-per-step float association (the
+        tests/test_trainer_scan.py tolerance). Before the per-step key
+        fix the crops themselves differed and this fails wildly."""
+        from gltvae.config import ModelConfig, TrainConfig
+        from gltvae.data.pipeline import BatchLoader, ArrayDataset
+        from gltvae.data.synthetic import synthetic_splits
+        from gltvae.train.loop import Trainer
+
+        def run(spd):
+            model = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                                enc_features=(8, 8), enc_hidden=16,
+                                dec_features=(16, 8))
+            cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                              classifier_mc_samples=2, n_epochs=1,
+                              augment_pad=2)
+            splits = synthetic_splits(n_train=32, n_valid=8, n_test=8,
+                                      sup_frac=1.0, image_size=20, y_dim=4)
+            for mode in ('valid', 'test'):
+                splits[mode] = ArrayDataset(
+                    images=splits[mode].images[:, 2:18, 2:18],
+                    labels=splits[mode].labels)
+            lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+            t = Trainer(model, cfg, mu_init=np.eye(4, dtype=np.float32),
+                        steps_per_dispatch=spd)
+            t.train(lds)
+            return jax.device_get(t.state.params)
+        a, b = run(1), run(4)
+        jax.tree.map(lambda x, y: np.testing.assert_allclose(
+            x, y, rtol=1e-5, atol=1e-7), a, b)
+
+    def test_non_rgb_channel_count(self, rng):
+        from gltvae.ops.pallas.preprocess import fused_augment, augment_xla
+        u8 = jnp.asarray(rng.randint(0, 256, (4, 20, 20, 1),
+                                     dtype=np.uint8))
+        key = jax.random.key(9)
+        np.testing.assert_array_equal(
+            np.asarray(fused_augment(u8, key, 16)),
+            np.asarray(augment_xla(u8, key, 16)))

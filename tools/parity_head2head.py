@@ -119,8 +119,13 @@ def run_gltvae(args, gate_type, gate_subtype, sup, data_dir):
 
 
 def compare(ref, glt, tol):
-    """Parity verdict for one config."""
-    dt = abs((ref['test_accuracy'] or 0) - (glt['test_accuracy'] or 0))
+    """Parity verdict for one config. A missing test accuracy on either
+    leg (e.g. an unparseable reference log) yields parity=None — not a
+    bogus delta against 0.0."""
+    have_both = (ref['test_accuracy'] is not None
+                 and glt['test_accuracy'] is not None)
+    dt = (abs(ref['test_accuracy'] - glt['test_accuracy'])
+          if have_both else None)
     k = min(3, len(ref['val_accuracy']), len(glt['val_accuracy']))
     tail_ref = ref['val_accuracy'][-k:] if k else []
     tail_glt = glt['val_accuracy'][-k:] if k else []
@@ -131,7 +136,7 @@ def compare(ref, glt, tol):
         'test_delta': dt,
         'val_tail_ref': tail_ref, 'val_tail_gltvae': tail_glt,
         'val_tail_delta': tail_delta,
-        'parity': bool(dt <= tol),
+        'parity': bool(dt <= tol) if have_both else None,
     }
 
 
@@ -172,9 +177,11 @@ def main(argv=None):
 
     if args.report:
         write_report(args, results)
-    n_parity = sum(r['compare']['parity'] for r in results.values())
+    n_parity = sum(bool(r['compare']['parity']) for r in results.values())
+    n_na = sum(r['compare']['parity'] is None for r in results.values())
     print(f'\nparity: {n_parity}/{len(results)} configs within '
-          f'tol={args.tol}')
+          f'tol={args.tol}'
+          + (f' ({n_na} n/a: missing test accuracy)' if n_na else ''))
     return results
 
 
@@ -211,7 +218,7 @@ def write_report(args, results):
             f"| {tag} | {fmt(c['test_ref'])} | {fmt(c['test_gltvae'])} | "
             f"{fmt(c['test_delta'])} | {fmt(c['val_tail_ref'])} | "
             f"{fmt(c['val_tail_gltvae'])} | "
-            f"{'PASS' if c['parity'] else 'FAIL'} |")
+            f"{'n/a' if c['parity'] is None else 'PASS' if c['parity'] else 'FAIL'} |")
     lines += [
         '',
         f"Throughput during these runs: reference "

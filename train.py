@@ -214,9 +214,19 @@ def run(args, sup: float):
     os.makedirs(param_dir, exist_ok=True)
     # persist the architecture so offline tools can rebuild the exact
     # restore template (non-default --z-dim etc.) without re-deriving it
-    # from CLI flags
-    from gltvae.config import save_model_config
-    save_model_config(model_cfg, param_dir)
+    # from CLI flags. Training runs own the record; a test-only rerun
+    # must NOT overwrite it from (possibly defaulted) CLI flags — the
+    # stored file is the authoritative description of the trained state.
+    from gltvae.config import save_model_config, load_model_config
+    recorded = load_model_config(param_dir)
+    if args.do_train or recorded is None:
+        save_model_config(model_cfg, param_dir)
+    elif recorded != model_cfg:
+        logger.warning(
+            'model_config.json in %s records a different architecture '
+            'than the CLI flags (e.g. recorded gate_type=%s vs %s); '
+            'keeping the recorded file — pass matching flags if restore '
+            'fails', param_dir, recorded.gate_type, model_cfg.gate_type)
 
     from gltvae.train.loop import Trainer
     trainer = Trainer(model_cfg, train_cfg, mu_init=mu_init, mesh=mesh,
