@@ -27,7 +27,8 @@ import numpy as np
 def bench_train_step(batch_size: int, steps: int, warmup: int,
                      compute_dtype: str, supervised: bool = True,
                      scan: int = 0, image_size: int = 64,
-                     semi_sup_period: int = 0, prng: str = 'rbg'):
+                     semi_sup_period: int = 0, prng: str = 'rbg',
+                     remat: str = 'none'):
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig, celeba128
@@ -42,7 +43,8 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     else:
         cfg = ModelConfig(compute_dtype=compute_dtype)
-    train_cfg = TrainConfig(batch_size=batch_size, prng_impl=prng)
+    train_cfg = TrainConfig(batch_size=batch_size, prng_impl=prng,
+                            remat=remat)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
     yd = cfg.y_dim
@@ -254,6 +256,12 @@ def main():
                         'the uniform sup scan: 1 supervised step per P '
                         '(e.g. 5 ~= the sup=0.2 schedule); requires '
                         '--scan > 1')
+    p.add_argument('--remat', default='none',
+                   choices=['none', 'full', 'dots'],
+                   help='rematerialize the loss forward in the backward '
+                        'pass (jax.checkpoint): the step is HBM-bound, '
+                        'so trading activation traffic for recompute '
+                        'FLOPs can beat storing (TrainConfig.remat)')
     p.add_argument('--prng', default='rbg', choices=['threefry', 'rbg'],
                    help='PRNG implementation for the benched step. rbg '
                         '(XLA RngBitGenerator, the TPU-fast partitionable '
@@ -296,7 +304,8 @@ def main():
     imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
         scan=args.scan, image_size=args.image_size,
-        semi_sup_period=args.semi_sup_period, prng=args.prng)
+        semi_sup_period=args.semi_sup_period, prng=args.prng,
+        remat=args.remat)
     peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
     eval_ips = (None if args.skip_traversal
@@ -313,6 +322,7 @@ def main():
         'vs_baseline': round(imgs_per_sec / baseline, 2),
         'backend': backend,
         'prng': args.prng,
+        'remat': args.remat,
         'final_loss': round(loss, 2),
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),

@@ -139,6 +139,15 @@ class TrainConfig:
     # random-crop-to-S + hflip + normalize (ops/pallas/preprocess.py
     # fused_augment). 0 disables. Eval splits are never augmented.
     augment_pad: int = 0
+    # Rematerialization of the loss forward inside the backward pass
+    # (jax.checkpoint). The train step is HBM-bandwidth-bound on TPU
+    # (~94% of roofline) with the MXU far from saturated, so trading
+    # activation storage traffic for recompute FLOPs can pay.
+    # 'none' = store activations (XLA default), 'full' = save nothing
+    # (recompute the whole forward), 'dots' = save matmul/conv outputs
+    # only (jax dots_with_no_batch_dims_saveable policy). Same math,
+    # float-association-level differences only.
+    remat: str = 'none'
 
     def gating_temp_for(self, model: ModelConfig) -> float:
         if self.gating_init_temp is not None:

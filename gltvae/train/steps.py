@@ -34,6 +34,30 @@ def make_train_steps(model: CCVAE, train_cfg: TrainConfig,
     gating_reg = (train_cfg.gating_reg if model.cfg.mu_trainable else 0.0)
     k = train_cfg.classifier_mc_samples
 
+    # Optional forward rematerialization (TrainConfig.remat): the step is
+    # HBM-bound, so recomputing activations in the backward pass instead
+    # of storing them trades spare MXU FLOPs for the bottleneck resource.
+    def _loss_fns():
+        def sup_loss(params, x, y, key, temps):
+            return model.sup_loss(params, x, y, key, temps,
+                                  gating_reg=gating_reg, k=k)
+
+        def unsup_loss(params, x, key, temps):
+            return model.unsup_loss(params, x, key, temps,
+                                    gating_reg=gating_reg)
+        if train_cfg.remat == 'none':
+            return sup_loss, unsup_loss
+        if train_cfg.remat == 'full':
+            return jax.checkpoint(sup_loss), jax.checkpoint(unsup_loss)
+        if train_cfg.remat == 'dots':
+            pol = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            return (jax.checkpoint(sup_loss, policy=pol),
+                    jax.checkpoint(unsup_loss, policy=pol))
+        raise ValueError(f'unknown remat mode {train_cfg.remat!r} '
+                         "(choices: 'none', 'full', 'dots')")
+
+    sup_loss_fn, unsup_loss_fn = _loss_fns()
+
     def _apply(state: TrainState, grads, loss, aux):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -53,9 +77,8 @@ def make_train_steps(model: CCVAE, train_cfg: TrainConfig,
         key = state.next_rng()
         temps = Temps(gating=jnp.asarray(gating_temp, jnp.float32))
         (loss, aux), grads = jax.value_and_grad(
-            model.sup_loss, has_aux=True)(
-                state.params, x, y.astype(jnp.float32), key, temps,
-                gating_reg=gating_reg, k=k)
+            sup_loss_fn, has_aux=True)(
+                state.params, x, y.astype(jnp.float32), key, temps)
         return _apply(state, grads, loss, aux)
 
     def unsup_step(state: TrainState, x, y, gating_temp):
@@ -64,8 +87,8 @@ def make_train_steps(model: CCVAE, train_cfg: TrainConfig,
         key = state.next_rng()
         temps = Temps(gating=jnp.asarray(gating_temp, jnp.float32))
         (loss, aux), grads = jax.value_and_grad(
-            model.unsup_loss, has_aux=True)(
-                state.params, x, key, temps, gating_reg=gating_reg)
+            unsup_loss_fn, has_aux=True)(
+                state.params, x, key, temps)
         return _apply(state, grads, loss, aux)
 
     if jit:

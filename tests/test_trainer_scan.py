@@ -5,6 +5,7 @@ through the lax.cond scan (make_mixed_scan_train_step)."""
 
 import jax
 import numpy as np
+import pytest
 
 from gltvae.config import ModelConfig, TrainConfig
 from gltvae.data.pipeline import BatchLoader
@@ -177,3 +178,53 @@ def test_scan_eval_on_mesh_matches_single():
                  mesh=create_mesh())
     accm = tm.evaluate(lds['valid'])
     np.testing.assert_allclose(acc1, accm, rtol=1e-5)
+
+
+@pytest.mark.parametrize('mode', ['full', 'dots'])
+def test_remat_matches_plain_step(mode):
+    """TrainConfig.remat (jax.checkpoint around the loss) must change
+    HBM scheduling only, not math: grads/params after a sup and an unsup
+    step match the store-activations path to float tolerance."""
+    import jax
+    import numpy as np
+    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.train.state import create_train_state
+    from gltvae.train.steps import make_train_steps
+
+    model_cfg = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                            enc_features=(8, 8), enc_hidden=16,
+                            dec_features=(16, 8))
+    model = CCVAE(model_cfg)
+    rng = np.random.RandomState(0)
+    mu = np.eye(4, dtype=np.float32)
+    x = rng.randint(0, 256, (8, 16, 16, 3)).astype(np.uint8)
+    y = (rng.rand(8, 4) > 0.5).astype(np.float32)
+
+    def run(remat):
+        cfg = TrainConfig(batch_size=8, classifier_mc_samples=4,
+                          remat=remat)
+        state = create_train_state(model, cfg, jax.random.key(0),
+                                   mu_init=mu)
+        sup, unsup = make_train_steps(model, cfg, donate=False)
+        state, m1 = sup(state, x, y, 1.0)
+        state, m2 = unsup(state, x, y, 1.0)
+        return jax.device_get(state.params), (float(m1['loss']),
+                                              float(m2['loss']))
+
+    p0, l0 = run('none')
+    p1, l1 = run(mode)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-4, atol=1e-6), p0, p1)
+
+
+def test_remat_invalid_mode_raises():
+    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.train.steps import make_train_steps
+    import pytest as _pytest
+    m = ModelConfig(image_size=16, z_dim=8, y_dim=4, enc_features=(8, 8),
+                    enc_hidden=16, dec_features=(16, 8))
+    with _pytest.raises(ValueError, match='remat'):
+        make_train_steps(CCVAE(m), TrainConfig(remat='bogus'))

@@ -71,6 +71,13 @@ def parse_args(argv=None):
                         'bit-reproducible across backends) or rbg (XLA '
                         'RngBitGenerator — ~6%% faster train step on '
                         'TPU, same accuracy)')
+    p.add_argument('--remat', default='none',
+                   choices=['none', 'full', 'dots'],
+                   help='rematerialize the loss forward in the backward '
+                        'pass (jax.checkpoint; the HBM-bound train step '
+                        'can trade activation traffic for spare MXU '
+                        'FLOPs — bench both on your chip). Same math; '
+                        'float-association-level differences only')
     p.add_argument('--debug-nans', action='store_true',
                    help='enable jax debug_nans (replaces the reference '
                         'NaN-gate sys.exit guard with precise tracing)')
@@ -150,7 +157,8 @@ def build_configs(args, sup):
                             gating_reg=args.l1_reg, seed=args.seed,
                             prng_impl=args.prng,
                             deterministic_eval=args.deterministic_eval,
-                            augment_pad=args.augment_pad)
+                            augment_pad=args.augment_pad,
+                            remat=args.remat)
     split_overrides = {k: v for k, v in
                        (('n_train', args.n_train), ('n_valid', args.n_valid),
                         ('n_test', args.n_test)) if v is not None}
