@@ -213,3 +213,23 @@ def test_head2head_compare_missing_accuracy_is_na():
     both = compare({'test_accuracy': 0.70, 'val_accuracy': [0.6]},
                    glt, tol=0.06)
     assert both['parity'] is True and abs(both['test_delta'] - 0.02) < 1e-9
+
+
+def test_test_only_rerun_adopts_recorded_config(tmp_path):
+    """A --do-test-only rerun with defaulted flags must adopt the run
+    dir's model_config.json (non-default z_dim here) rather than clobber
+    it and fail the Orbax restore with a template mismatch."""
+    import json as _json
+    import os
+    base = ['--synthetic', '--synthetic-n', '16', '--sup', '1.0',
+            '-bs', '8', '--epochs', '1', '--platform', 'cpu',
+            '--output-dir', str(tmp_path), '--no-compilation-cache']
+    cli.main(base + ['--do-train', '--z-dim', '24'])
+    rec_path = tmp_path / 'params_1.0_learnable' / 'model_config.json'
+    with open(rec_path) as f:
+        assert _json.load(f)['z_dim'] == 24
+    # rerun WITHOUT --z-dim: must adopt z_dim=24 from the record
+    results = cli.main(base)
+    assert 0.0 <= results[1.0] <= 1.0
+    with open(rec_path) as f:
+        assert _json.load(f)['z_dim'] == 24     # record survived

@@ -200,8 +200,32 @@ def make_loaders(args, data_cfg, train_cfg, y_dim):
 
 
 def run(args, sup: float):
+    import dataclasses
     logger.info('----- supervision %.1f -----', sup)
     model_cfg, train_cfg, data_cfg = build_configs(args, sup)
+
+    if args.gate_type == 'learnable':
+        run_name = f'params_{sup}_{args.gate_type}'
+    else:
+        run_name = f'params_{sup}_{args.gate_type}_{args.gate_subtype}'
+    param_dir = os.path.join(args.output_dir, run_name)
+
+    # The model_config.json a training run records is the authoritative
+    # architecture of the stored checkpoint. Training runs (re)write it;
+    # a test-only rerun ADOPTS it instead of trusting possibly-defaulted
+    # CLI flags (which would both clobber the record and build a
+    # mismatched restore template).
+    from gltvae.config import save_model_config, load_model_config
+    recorded = load_model_config(param_dir)
+    if not args.do_train and recorded is not None and recorded != model_cfg:
+        logger.info('test-only rerun: using the recorded architecture '
+                    'from %s/model_config.json (CLI flags differ)',
+                    param_dir)
+        model_cfg = recorded
+        data_cfg = dataclasses.replace(
+            data_cfg, image_size=recorded.image_size,
+            use_easy_labels=(recorded.y_dim == 18),
+            center_crop=(recorded.image_size == 128))
     logger.info('config: %s', json.dumps({
         'model': model_cfg.__dict__, 'train': train_cfg.__dict__}, default=str))
 
@@ -214,27 +238,9 @@ def run(args, sup: float):
         mesh = create_mesh()
         logger.info('mesh: %d devices', mesh.devices.size)
 
-    if args.gate_type == 'learnable':
-        run_name = f'params_{sup}_{args.gate_type}'
-    else:
-        run_name = f'params_{sup}_{args.gate_type}_{args.gate_subtype}'
-    param_dir = os.path.join(args.output_dir, run_name)
     os.makedirs(param_dir, exist_ok=True)
-    # persist the architecture so offline tools can rebuild the exact
-    # restore template (non-default --z-dim etc.) without re-deriving it
-    # from CLI flags. Training runs own the record; a test-only rerun
-    # must NOT overwrite it from (possibly defaulted) CLI flags — the
-    # stored file is the authoritative description of the trained state.
-    from gltvae.config import save_model_config, load_model_config
-    recorded = load_model_config(param_dir)
     if args.do_train or recorded is None:
         save_model_config(model_cfg, param_dir)
-    elif recorded != model_cfg:
-        logger.warning(
-            'model_config.json in %s records a different architecture '
-            'than the CLI flags (e.g. recorded gate_type=%s vs %s); '
-            'keeping the recorded file — pass matching flags if restore '
-            'fails', param_dir, recorded.gate_type, model_cfg.gate_type)
 
     from gltvae.train.loop import Trainer
     trainer = Trainer(model_cfg, train_cfg, mu_init=mu_init, mesh=mesh,
