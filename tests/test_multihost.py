@@ -62,8 +62,21 @@ xg, yg = shard_batch((x, y), mesh)
 
 state, m = sup(state, xg, yg, 1.0)
 loss = float(jax.device_get(m['loss']))
+
+# the semi-sup mixed chunk (lax.cond-selected sup/unsup inside lax.scan)
+# with its gradient psums crossing the PROCESS boundary — the dispatch
+# the paper's sup=0.2/0.5 schedules ride
+from gltvae.parallel.dp import (make_parallel_mixed_scan_train_step,
+                                shard_stacked_batch)
+mixed = make_parallel_mixed_scan_train_step(model, tc, mesh, donate=False)
+xs = rng.randint(0, 256, (2, GLOBAL_B, 16, 16, 3)).astype(np.uint8)
+ys = (rng.rand(2, GLOBAL_B, 6) > 0.5).astype(np.float32)
+xsg, ysg = shard_stacked_batch((xs, ys), mesh)
+state, mm = mixed(state, xsg, ysg, np.asarray([True, False]), 1.0)
+mixed_loss = np.asarray(jax.device_get(mm['loss']))
+
 if pid == 0:
-    np.savez(out, loss=loss,
+    np.savez(out, loss=loss, mixed_loss=mixed_loss,
              mu=np.asarray(jax.device_get(state.params['mu'])),
              clf=np.asarray(
                  jax.device_get(state.params['classifier']['kernel'])))
@@ -101,5 +114,6 @@ def test_two_process_dcn_matches_single_process(tmp_path):
     _run(nproc=1, devices_per_proc=4, out=out1, port=_free_port())
     a, b = np.load(out1), np.load(out2)
     np.testing.assert_allclose(a['loss'], b['loss'], rtol=1e-5)
+    np.testing.assert_allclose(a['mixed_loss'], b['mixed_loss'], rtol=1e-5)
     np.testing.assert_allclose(a['mu'], b['mu'], rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(a['clf'], b['clf'], rtol=1e-5, atol=1e-7)
