@@ -85,6 +85,9 @@ def make_grain_loader(image_dir: str, ids, labels, *, batch_size: int,
     ds = grain.MapDataset.source(source)
     if shard_options is not None:
         ds = ds[shard_options.shard_index::shard_options.shard_count]
+    # per-HOST epoch length: under shard_options each process sees only
+    # its slice, so epoch accounting must count the slice, not the corpus
+    n_local = len(ds)
     if shuffle and reshuffle_each_epoch:
         ds = ds.shuffle(seed=seed)
     ds = ds.repeat()
@@ -102,7 +105,7 @@ def make_grain_loader(image_dir: str, ids, labels, *, batch_size: int,
         fresh iterator per __iter__ would restart the repeated stream at
         grain-epoch 0 — same first batches every epoch, no per-epoch
         reshuffle."""
-        n_s = len(source)
+        n_s = n_local
 
         def __init__(self):
             self._it = iter(it)

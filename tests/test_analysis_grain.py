@@ -131,6 +131,10 @@ class TestGrainLoader:
             shard_options=grain.ShardOptions(shard_index=0, shard_count=2))
         x, y = next(iter(loader))
         assert x.shape == (2, 32, 32, 3)
+        # epoch accounting is per-HOST: 12 images / 2 shards = 6 local
+        # -> 3 batches of 2, not the unsharded 6
+        assert loader.n_s == 6
+        assert loader.epoch_batches == 3
 
 
 def test_metrics_summary_tool(tmp_path):
