@@ -215,6 +215,17 @@ def test_head2head_compare_missing_accuracy_is_na():
     assert both['parity'] is True and abs(both['test_delta'] - 0.02) < 1e-9
 
 
+def test_head2head_train_seed_plumbing():
+    """--train-seed must override the training RNG for both legs while
+    leaving the corpus seed (--seed) alone, and must suffix the reference
+    artifact name so seeds never clobber each other."""
+    from tools.parity_head2head import parse_args, train_seed
+    a = parse_args(['--workdir', 'w'])
+    assert train_seed(a) == 0 and a.train_seed is None
+    a = parse_args(['--workdir', 'w', '--train-seed', '3'])
+    assert train_seed(a) == 3 and a.seed == 0
+
+
 def test_test_only_rerun_adopts_recorded_config(tmp_path):
     """A --do-test-only rerun with defaulted flags must adopt the run
     dir's model_config.json (non-default z_dim here) rather than clobber

@@ -48,11 +48,23 @@ def parse_args(argv=None):
     p.add_argument('--modes', nargs='*', default=None,
                    help="subset of gate modes, e.g. 'learnable/inferred'")
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--train-seed', type=int, default=None,
+                   help='training/eval RNG seed for BOTH legs, leaving the '
+                        'corpus at --seed (an existing corpus in --workdir '
+                        'is never regenerated). Results are tagged '
+                        '.../tseed=N so successive seeds merge into the '
+                        'same results file — a seed-variance study on '
+                        'identical data.')
     p.add_argument('--tol', type=float, default=0.06,
                    help='max |test-acc delta| counted as parity '
                         '(stochastic eval: the reference itself moved '
                         '0.083 between train-time and re-eval)')
     p.add_argument('--steps-per-dispatch', type=int, default=8)
+    p.add_argument('--platform', default=None,
+                   help="jax backend for the gltvae leg (e.g. 'cpu' when "
+                        'the TPU tunnel is down; accuracy parity is '
+                        'backend-independent and CPU f32 is the closest '
+                        'arithmetic match to the TF-CPU reference leg)')
     p.add_argument('--report', default=None,
                    help='markdown report path (e.g. docs/HEAD2HEAD.md)')
     p.add_argument('--skip-reference', action='store_true',
@@ -65,8 +77,14 @@ def splits(n):
     return n - 2 * nv, nv, nv
 
 
+def train_seed(args):
+    return args.seed if args.train_seed is None else args.train_seed
+
+
 def run_reference(args, gate_type, gate_subtype, sup, root):
     tag = f'{gate_type}_{gate_subtype}_{sup}'
+    if args.train_seed is not None:
+        tag += f'_s{args.train_seed}'
     out = os.path.join(args.workdir, f'ref_{tag}.json')
     if args.skip_reference and os.path.exists(out):
         return json.load(open(out))
@@ -76,7 +94,7 @@ def run_reference(args, gate_type, gate_subtype, sup, root):
            '--bs', str(args.bs), '--gate-type', gate_type,
            '--gate-subtype', gate_subtype, '--sup', str(sup),
            '--n-train', str(n_tr), '--n-valid', str(n_va),
-           '--n-test', str(n_te), '--seed', str(args.seed),
+           '--n-test', str(n_te), '--seed', str(train_seed(args)),
            '--out-json', out]
     env = dict(os.environ, JAX_PLATFORMS='cpu')   # keep TF off the TPU leg
     subprocess.run(cmd, check=True, env=env)
@@ -86,13 +104,17 @@ def run_reference(args, gate_type, gate_subtype, sup, root):
 def run_gltvae(args, gate_type, gate_subtype, sup, data_dir):
     n_tr, n_va, n_te = splits(args.n)
     out_dir = os.path.join(args.workdir, 'gltvae_models')
+    if args.train_seed is not None:
+        # per-seed model dir: train.py's run_name has no seed component,
+        # so successive seeds would clobber each other's checkpoints
+        out_dir += f'_s{args.train_seed}'
     cmd = [sys.executable, os.path.join(REPO, 'train.py'),
            '--do-train', '--epochs', str(args.epochs),
            '-bs', str(args.bs), '--data-dir', data_dir,
            '--output-dir', out_dir, '--gate-type', gate_type,
            '--gate-subtype', gate_subtype, '--sup', str(sup),
            '--n-train', str(n_tr), '--n-valid', str(n_va),
-           '--n-test', str(n_te), '--seed', str(args.seed),
+           '--n-test', str(n_te), '--seed', str(train_seed(args)),
            '--parity',
            # byte-identical inputs to the reference: the pil backend uses
            # the reference's exact PIL decode + default-resample resize
@@ -102,6 +124,8 @@ def run_gltvae(args, gate_type, gate_subtype, sup, data_dir):
            # measurably changes early learning speed on a noisy corpus.
            '--decode-backend', 'pil',
            '--steps-per-dispatch', str(args.steps_per_dispatch)]
+    if args.platform:
+        cmd += ['--platform', args.platform]
     subprocess.run(cmd, check=True, cwd=REPO)
     if gate_type == 'learnable':
         run_name = f'params_{sup}_{gate_type}'
@@ -165,6 +189,8 @@ def main(argv=None):
     for gate_type, gate_subtype in modes:
         for sup in args.sups:
             tag = f'{gate_type}/{gate_subtype}/sup={sup}'
+            if args.train_seed is not None:
+                tag += f'/tseed={args.train_seed}'
             print(f'=== {tag}: reference leg ===', flush=True)
             ref = run_reference(args, gate_type, gate_subtype, sup, ref_root)
             print(f'=== {tag}: gltvae leg ===', flush=True)
