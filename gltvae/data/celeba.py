@@ -216,10 +216,16 @@ class CelebAReader:
     def _make_splits(self, ids, labels) -> Dict[str, _SplitData]:
         cfg = self.cfg
         n_tr, n_va = cfg.n_train, cfg.n_valid
+        # test honors n_test rather than swallowing every remaining CSV
+        # row (identical on official CelebA, where 162770+19867+19962
+        # covers the CSV exactly, but --n-test on a larger corpus must
+        # mean what it says)
+        n_end = n_tr + n_va + cfg.n_test
         out = {'train': _SplitData(ids[:n_tr], labels[:n_tr]),
                'valid': _SplitData(ids[n_tr:n_tr + n_va],
                                    labels[n_tr:n_tr + n_va]),
-               'test': _SplitData(ids[n_tr + n_va:], labels[n_tr + n_va:])}
+               'test': _SplitData(ids[n_tr + n_va:n_end],
+                                  labels[n_tr + n_va:n_end])}
         empty = [m for m in ('train', 'valid', 'test') if len(out[m]) == 0]
         if empty:
             raise ValueError(

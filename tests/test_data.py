@@ -289,6 +289,21 @@ class TestCelebAReader:
         with pytest.raises(ValueError, match='cache_decoded'):
             reader.setup_data_loaders()
 
+    def test_n_test_honored_not_remainder(self, tmp_path):
+        """--n-test must bound the test split; extra CSV rows beyond
+        n_train+n_valid+n_test stay out (previously the test split
+        silently swallowed every remaining row)."""
+        self._mini_root(tmp_path, n=30)
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=10, n_valid=5,
+                         n_test=5, num_workers=0)
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+        assert len(reader.splits['test']) == 5      # not the 15 remaining
+        # official-CelebA-style exact cover is unchanged
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=20, n_valid=5,
+                         n_test=5, num_workers=0)
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+        assert len(reader.splits['test']) == 5
+
     def test_empty_split_fails_fast(self, tmp_path):
         """A corpus smaller than the configured split sizes must raise a
         clear error at reader construction, not crash batch-less deep in
