@@ -240,6 +240,43 @@ def bench_traversal(n_steps: int = 8, iters: int = 20):
     return (time.perf_counter() - t0) / iters * 1000.0  # ms per grid
 
 
+def _watchdog_backend_init(args):
+    """Initialize the jax backend under a deadline.
+
+    A dead axon tunnel blocks the first device call forever (no error,
+    no timeout at the jax layer). Run the init in a daemon thread; if the
+    deadline passes, print one self-describing JSON error line in the
+    bench's output schema and exit nonzero — the run record then says
+    WHY there is no number instead of the process being killed silently.
+    """
+    import threading
+    done = threading.Event()
+    box = {}
+
+    def _init():
+        try:
+            import jax
+            box['backend'] = jax.default_backend()
+        except Exception as e:               # init failed fast: also legible
+            box['error'] = f'{type(e).__name__}: {e}'
+        done.set()
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    if not done.wait(args.init_timeout) or 'error' in box:
+        err = box.get('error',
+                      f'jax backend init still blocked after '
+                      f'{args.init_timeout:.0f}s (axon tunnel down?)')
+        print(json.dumps({
+            'metric': 'ELBO train images/sec/chip (CelebA-%d, bs %d, %s)'
+                      % (args.image_size, args.batch_size, args.dtype),
+            'value': None, 'unit': 'images/sec', 'vs_baseline': None,
+            'error': err,
+        }))
+        import os
+        os._exit(1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--batch-size', type=int, default=256)
@@ -275,10 +312,18 @@ def main():
                    help='disable the persistent XLA executable cache '
                         '(cache only cuts compile wall time; the timed '
                         'loops are steady-state either way)')
+    p.add_argument('--init-timeout', type=float, default=600.0,
+                   help='seconds to wait for jax backend init before '
+                        'emitting an explicit error JSON line (the axon '
+                        'TPU tunnel hangs indefinitely at init when it '
+                        'is down; an eternal hang is illegible to '
+                        'whoever runs the bench)')
     from gltvae.utils.platform import add_platform_arg, apply_platform
     add_platform_arg(p)
     args = p.parse_args()
     apply_platform(args.platform)
+
+    _watchdog_backend_init(args)
 
     import jax
     if not args.no_compilation_cache:
