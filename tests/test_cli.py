@@ -215,6 +215,26 @@ def test_head2head_compare_missing_accuracy_is_na():
     assert both['parity'] is True and abs(both['test_delta'] - 0.02) < 1e-9
 
 
+def test_bench_init_watchdog_emits_error_json():
+    """bench.py must not hang forever on a dead backend: with an
+    already-expired deadline it prints one self-describing JSON error
+    line (schema fields present, value null) and exits nonzero."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, 'bench.py'),
+         '--platform', 'cpu', '--init-timeout', '0.001'],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0
+    line = [l for l in r.stdout.splitlines() if l.startswith('{')][-1]
+    out = _json.loads(line)
+    assert out['value'] is None and out['vs_baseline'] is None
+    assert 'error' in out and out['unit'] == 'images/sec'
+
+
 def test_head2head_train_seed_plumbing():
     """--train-seed must override the training RNG for both legs while
     leaving the corpus seed (--seed) alone, and must suffix the reference
