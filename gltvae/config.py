@@ -167,6 +167,13 @@ class DataConfig:
     n_train: int = 162770
     n_valid: int = 19867
     n_test: int = 19962
+    # Official split-assignment file (image_id,partition with 0=train,
+    # 1=valid, 2=test). The reference SHIPS list_eval_partition.csv but
+    # ignores it, hardcoding the sizes above (utils_data.py:87-91) —
+    # correct only when the attr CSV is in official order. Set this
+    # (path relative to data_dir) to split by the file instead; the
+    # n_train/n_valid/n_test sizes are then ignored.
+    split_file: Optional[str] = None
     use_easy_labels: bool = True     # 18 labels; False -> all 40 (128px config)
     # Square center-crop before resize. False reproduces the reference's
     # aspect-distorting direct resize (utils_data.py:57); the 128px CLI

@@ -71,6 +71,24 @@ def load_attr_csv(path: str,
     return ids, labels
 
 
+def load_partition_csv(path: str) -> Dict[str, int]:
+    """Parse list_eval_partition.csv -> {image_id: partition} with the
+    official coding 0=train, 1=valid, 2=test. Accepts the comma CSV the
+    reference ships (header 'image_id,partition') and the original
+    space-separated list_eval_partition.txt."""
+    out: Dict[str, int] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = (line.split(',') if ',' in line else line.split())
+            if parts[0] == 'image_id':
+                continue                       # header
+            out[parts[0]] = int(parts[1])
+    return out
+
+
 @dataclass
 class _SplitData:
     ids: List[str]
@@ -215,32 +233,52 @@ class CelebAReader:
 
     def _make_splits(self, ids, labels) -> Dict[str, _SplitData]:
         cfg = self.cfg
-        n_tr, n_va = cfg.n_train, cfg.n_valid
-        # test honors n_test rather than swallowing every remaining CSV
-        # row (identical on official CelebA, where 162770+19867+19962
-        # covers the CSV exactly, but --n-test on a larger corpus must
-        # mean what it says)
-        n_end = n_tr + n_va + cfg.n_test
-        out = {'train': _SplitData(ids[:n_tr], labels[:n_tr]),
-               'valid': _SplitData(ids[n_tr:n_tr + n_va],
-                                   labels[n_tr:n_tr + n_va]),
-               'test': _SplitData(ids[n_tr + n_va:n_end],
-                                  labels[n_tr + n_va:n_end])}
+        if cfg.split_file is not None:
+            part = load_partition_csv(
+                os.path.join(cfg.data_dir, cfg.split_file))
+            missing = sum(1 for i in ids if i not in part)
+            if missing:
+                raise ValueError(
+                    f'{missing}/{len(ids)} attr-CSV images are absent from '
+                    f'split file {cfg.split_file}; the two files must '
+                    'cover the same images')
+            out = {}
+            for name, code in (('train', 0), ('valid', 1), ('test', 2)):
+                keep = [k for k, i in enumerate(ids) if part[i] == code]
+                out[name] = _SplitData([ids[k] for k in keep], labels[keep])
+            sizes_msg = (f'split file {cfg.split_file} assigns '
+                         + '/'.join(str(len(out[m]))
+                                    for m in ('train', 'valid', 'test')))
+        else:
+            n_tr, n_va = cfg.n_train, cfg.n_valid
+            # test honors n_test rather than swallowing every remaining
+            # CSV row (identical on official CelebA, where
+            # 162770+19867+19962 covers the CSV exactly, but --n-test on
+            # a larger corpus must mean what it says)
+            n_end = n_tr + n_va + cfg.n_test
+            out = {'train': _SplitData(ids[:n_tr], labels[:n_tr]),
+                   'valid': _SplitData(ids[n_tr:n_tr + n_va],
+                                       labels[n_tr:n_tr + n_va]),
+                   'test': _SplitData(ids[n_tr + n_va:n_end],
+                                      labels[n_tr + n_va:n_end])}
+            sizes_msg = (f'the configured split sizes are n_train={n_tr}, '
+                         f'n_valid={n_va} (defaults are the official '
+                         'CelebA 162770/19867). For a smaller corpus pass '
+                         '--n-train/--n-valid sized to the corpus')
         empty = [m for m in ('train', 'valid', 'test') if len(out[m]) == 0]
         if empty:
             raise ValueError(
                 f'split(s) {empty} are empty: the attribute CSV lists '
-                f'{len(ids)} images but the configured split sizes are '
-                f'n_train={n_tr}, n_valid={n_va} (defaults are the official '
-                f'CelebA 162770/19867). For a smaller corpus pass --n-train/'
-                f'--n-valid sized to the corpus.')
+                f'{len(ids)} images but {sizes_msg}.')
         tr = out['train']
         if self.sup_frac == 0.0:
             out['unsup'] = tr
         elif self.sup_frac == 1.0:
             out['sup'] = tr
         else:
-            k = int(n_tr * self.sup_frac)
+            # leading-fraction sup split (utils_data.py:129-145), sized by
+            # the ACTUAL train split (== n_train whenever sizes are exact)
+            k = int(len(tr) * self.sup_frac)
             out['sup'] = _SplitData(tr.ids[:k], tr.labels[:k])
             out['unsup'] = _SplitData(tr.ids[k:], tr.labels[k:])
         return out

@@ -289,6 +289,44 @@ class TestCelebAReader:
         with pytest.raises(ValueError, match='cache_decoded'):
             reader.setup_data_loaders()
 
+    def test_split_file_partitions(self, tmp_path):
+        """DataConfig.split_file routes splits through the official
+        list_eval_partition.csv coding (0=train 1=valid 2=test) — the
+        file the reference ships but ignores. Non-contiguous assignment
+        must be honored and sup split by the ACTUAL train length."""
+        self._mini_root(tmp_path, n=30)
+        # interleaved partitions: every 3rd image valid/test
+        lines = ['image_id,partition']
+        for i in range(30):
+            lines.append(f'{i:06d}.jpg,{(0, 0, 1, 0, 0, 2)[i % 6]}')
+        (tmp_path / 'list_eval_partition.csv').write_text(
+            '\n'.join(lines) + '\n')
+        cfg = DataConfig(data_dir=str(tmp_path),
+                         split_file='list_eval_partition.csv',
+                         num_workers=0)
+        reader = CelebAReader(cfg, sup_frac=0.5, batch_size=4, seed=0)
+        assert len(reader.splits['train']) == 20
+        assert len(reader.splits['valid']) == 5
+        assert len(reader.splits['test']) == 5
+        assert reader.splits['valid'].ids[0] == '000002.jpg'
+        assert reader.splits['test'].ids[0] == '000005.jpg'
+        assert len(reader.splits['sup']) == 10      # 0.5 of the REAL 20
+        # loaders build end-to-end off the partition splits
+        x, y = next(iter(reader.setup_data_loaders()['sup']))
+        assert x.shape == (4, 64, 64, 3)
+
+    def test_split_file_missing_image_fails(self, tmp_path):
+        self._mini_root(tmp_path, n=30)
+        lines = ['image_id,partition'] + [
+            f'{i:06d}.jpg,0' for i in range(29)]   # one image absent
+        (tmp_path / 'list_eval_partition.csv').write_text(
+            '\n'.join(lines) + '\n')
+        cfg = DataConfig(data_dir=str(tmp_path),
+                         split_file='list_eval_partition.csv',
+                         num_workers=0)
+        with pytest.raises(ValueError, match='absent from'):
+            CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+
     def test_n_test_honored_not_remainder(self, tmp_path):
         """--n-test must bound the test split; extra CSV rows beyond
         n_train+n_valid+n_test stay out (previously the test split

@@ -123,6 +123,12 @@ def parse_args(argv=None):
                         'utils_data.py:87-91); set for dataset subsets')
     p.add_argument('--n-valid', type=int, default=None)
     p.add_argument('--n-test', type=int, default=None)
+    p.add_argument('--split-file', default=None, metavar='CSV',
+                   help='split by the official partition file (e.g. '
+                        'list_eval_partition.csv, relative to --data-dir; '
+                        '0=train 1=valid 2=test) instead of prefix sizes. '
+                        'The reference ships this file but ignores it '
+                        '(utils_data.py:87-91)')
     p.add_argument('--output-dir', default='./models')
     p.add_argument('--tensorboard', default=None, metavar='DIR',
                    help='also write TensorBoard scalar events under '
@@ -170,6 +176,7 @@ def build_configs(args, sup):
                           decode_backend=args.decode_backend,
                           augment_pad=args.augment_pad,
                           cache_decoded=args.cache_decoded,
+                          split_file=args.split_file,
                           **split_overrides)
     return model_cfg, train_cfg, data_cfg
 
