@@ -99,6 +99,11 @@ def main(argv=None):
     p.add_argument('--n-train', type=int, default=None)
     p.add_argument('--n-valid', type=int, default=None)
     p.add_argument('--n-test', type=int, default=None)
+    p.add_argument('--split-file', default=None, metavar='CSV',
+                   help='split by the official partition file (e.g. '
+                        'list_eval_partition.csv, relative to --data-dir) '
+                        'instead of prefix sizes — for re-evals on the '
+                        'officially-partitioned real CelebA')
     p.add_argument('--only', default=None,
                    help='substring filter on run-dir names')
     p.add_argument('--out-json', default=None)
@@ -113,7 +118,7 @@ def main(argv=None):
                                    ('n_test', args.n_test))
                  if v is not None}
     data_cfg = DataConfig(data_dir=args.data_dir, cache_decoded=True,
-                          **overrides)
+                          split_file=args.split_file, **overrides)
     loaders = make_loaders(data_cfg, args.batch_size)
 
     results = {}
