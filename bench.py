@@ -214,7 +214,13 @@ def bench_eval(batch_size: int, iters: int = 30, scan: int = 32,
     for i in range(iters):
         total = total + ev(state.params, xs, ys, all_keys[i], 0.3).sum()
     float(jax.device_get(total))  # fence: depends on every iteration
-    return batch_size * scan * iters / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    # roofline for the eval program too (cost_analysis counts the scan
+    # body once, i.e. per batch) — an earlier note eyeballed the eval
+    # ceiling from the train step's byte mix and landed 2.4x low
+    _, roof = _compiled_analyses(ev, (state.params, xs, ys, all_keys[0],
+                                      0.3), dt / (iters * scan))
+    return batch_size * scan * iters / dt, roof
 
 
 def bench_traversal(n_steps: int = 8, iters: int = 20):
@@ -353,8 +359,8 @@ def main():
         remat=args.remat)
     peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
-    eval_ips = (None if args.skip_traversal
-                else bench_eval(args.batch_size, prng=args.prng))
+    eval_ips, eval_roof = ((None, None) if args.skip_traversal
+                           else bench_eval(args.batch_size, prng=args.prng))
 
     baseline = 700.0  # reference images/sec (BASELINE.md, derived)
     kind = ('semi-sup 1/%d mix' % args.semi_sup_period
@@ -377,6 +383,7 @@ def main():
         'eval_images_per_sec': (None if eval_ips is None
                                 else round(eval_ips, 1)),
         'roofline': roofline,
+        'eval_roofline': eval_roof,
     }
     print(json.dumps(result))
 
