@@ -273,9 +273,14 @@ def _watchdog_backend_init(args):
         err = box.get('error',
                       f'jax backend init still blocked after '
                       f'{args.init_timeout:.0f}s (axon tunnel down?)')
+        # same label shape as the success row (incl. the kind segment) so
+        # tooling that keys run records by metric string files the error
+        # under the series it belongs to
+        kind = ('semi-sup 1/%d mix' % args.semi_sup_period
+                if args.semi_sup_period > 1 else 'sup step')
         print(json.dumps({
-            'metric': 'ELBO train images/sec/chip (CelebA-%d, bs %d, %s)'
-                      % (args.image_size, args.batch_size, args.dtype),
+            'metric': 'ELBO train images/sec/chip (CelebA-%d, %s, bs %d, %s)'
+                      % (args.image_size, kind, args.batch_size, args.dtype),
             'value': None, 'unit': 'images/sec', 'vs_baseline': None,
             'error': err,
         }))

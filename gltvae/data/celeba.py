@@ -314,6 +314,19 @@ class CelebAReader:
                              'host (the C++ pool decodes straight into the '
                              'target-size buffer); drop device_resize or '
                              'use cv2/pil')
+        if backend == 'grain' and self.cfg.device_resize:
+            raise ValueError('decode_backend=grain always resizes on the '
+                             'host (the grain DecodeMap resizes via cv2); '
+                             'drop device_resize or use cv2/pil')
+        if self.cfg.cache_decoded and self.cfg.device_resize:
+            # at 64/128px the cache is ~1.9/7.6 GB; full-res 178x218
+            # decode-only rows would be ~19 GB — refuse rather than
+            # silently 10x the documented RAM budget
+            raise ValueError('cache_decoded stores host-resized uint8 rows '
+                             '(~1.9 GB at 64px); with device_resize the '
+                             'cache would hold full-resolution 178x218 '
+                             'images (~19 GB for CelebA) — drop one of the '
+                             'two flags')
         return {mode: self._make_loader(mode, image_dir, backend)
                 for mode in modes}
 

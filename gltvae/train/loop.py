@@ -181,7 +181,21 @@ class Trainer:
                                                   fused_augment_stacked)
         import jax.numpy as jnp
 
+        pad = self.cfg.augment_pad
+
         def aug(u8, base_key, step):
+            # TrainConfig.augment_pad and DataConfig.augment_pad are wired
+            # from one CLI flag but are independent fields for programmatic
+            # users; a desync would silently degrade the crop to offset-0
+            # (flip-only). Shapes are static, so this raises at trace time
+            # of the first augmented batch.
+            expect = out_size + 2 * pad
+            if u8.shape[-3] != expect or u8.shape[-2] != expect:
+                raise ValueError(
+                    f'augment_pad desync: TrainConfig.augment_pad={pad} '
+                    f'expects {expect}x{expect} train images but the '
+                    f'loader produced {u8.shape[-3]}x{u8.shape[-2]} — set '
+                    f'DataConfig.augment_pad to the same value')
             # stacked scan chunks fold one key PER INNER STEP (step+i), so
             # the noise stream — and therefore params and metrics.csv —
             # is invariant to --steps-per-dispatch (bit-identical to the

@@ -289,6 +289,28 @@ class TestCelebAReader:
         with pytest.raises(ValueError, match='cache_decoded'):
             reader.setup_data_loaders()
 
+    def test_grain_device_resize_rejected(self, tmp_path):
+        """grain always host-resizes; device_resize must fail fast, not
+        silently host-resize while the config says device-resize."""
+        self._mini_root(tmp_path, n=30)
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=20, n_valid=5,
+                         n_test=5, num_workers=0, decode_backend='grain',
+                         device_resize=True)
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+        with pytest.raises(ValueError, match='device_resize'):
+            reader.setup_data_loaders()
+
+    def test_cache_decoded_device_resize_rejected(self, tmp_path):
+        """cache_decoded + device_resize would cache full-res 178x218 rows
+        (~19 GB for CelebA, ~10x the documented budget) — refuse."""
+        self._mini_root(tmp_path, n=30)
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=20, n_valid=5,
+                         n_test=5, num_workers=0, cache_decoded=True,
+                         device_resize=True)
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+        with pytest.raises(ValueError, match='cache_decoded'):
+            reader.setup_data_loaders()
+
     def test_split_file_partitions(self, tmp_path):
         """DataConfig.split_file routes splits through the official
         list_eval_partition.csv coding (0=train 1=valid 2=test) — the

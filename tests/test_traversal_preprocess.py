@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gltvae.config import ModelConfig
 from gltvae.models.ccvae import CCVAE
@@ -168,6 +169,28 @@ class TestFusedAugment:
         res = t.train(lds)
         assert int(t.state.step) == 2
         assert np.isfinite(res['best_val_accuracy'])
+
+    def test_trainer_augment_pad_desync_fails_fast(self):
+        """TrainConfig.augment_pad with loaders at the UNPADDED size must
+        raise a clear error at the first augmented batch, not silently
+        degrade the random crop to offset-0 (flip-only)."""
+        from gltvae.config import ModelConfig, TrainConfig
+        from gltvae.data.pipeline import BatchLoader
+        from gltvae.data.synthetic import synthetic_splits
+        from gltvae.train.loop import Trainer
+        model = ModelConfig(image_size=16, z_dim=8, y_dim=4,
+                            enc_features=(8, 8), enc_hidden=16,
+                            dec_features=(16, 8))
+        cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                          classifier_mc_samples=2, n_epochs=1,
+                          augment_pad=2)
+        # desync: loaders yield 16px images (DataConfig.augment_pad=0)
+        splits = synthetic_splits(n_train=16, n_valid=8, n_test=8,
+                                  sup_frac=1.0, image_size=16, y_dim=4)
+        lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
+        t = Trainer(model, cfg, mu_init=np.eye(4, dtype=np.float32))
+        with pytest.raises(ValueError, match='augment_pad desync'):
+            t.train(lds)
 
     def test_trainer_augment_on_mesh(self):
         """The shard_map augmentation leg (per-shard Pallas call, key

@@ -17,10 +17,11 @@ plus per-opcode byte totals — the worklist for remat/fusion experiments.
 """
 
 import argparse
+import os
 import re
 import sys
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _DTYPE_BYTES = {
     'pred': 1, 'u8': 1, 's8': 1, 'u16': 2, 's16': 2, 'bf16': 2, 'f16': 2,

@@ -245,13 +245,25 @@ def write_report(args, results):
             f"{fmt(c['test_delta'])} | {fmt(c['val_tail_ref'])} | "
             f"{fmt(c['val_tail_gltvae'])} | "
             f"{'n/a' if c['parity'] is None else 'PASS' if c['parity'] else 'FAIL'} |")
+    # aggregate throughput over ALL cells in the (merged) results file —
+    # successive invocations merge into one json, so a single-cell sample
+    # could describe a different config than the runs just completed
+    ref_tp = [r['reference'].get('images_per_sec') for r in results.values()]
+    glt_tp = [r['gltvae'].get('images_per_sec') for r in results.values()]
+    ref_tp = [t for t in ref_tp if t]
+    glt_tp = [t for t in glt_tp if t]
+
+    def rng(ts):
+        if not ts:
+            return 'n/a'
+        lo, hi = min(ts), max(ts)
+        return f'{lo:.0f}' if lo == hi else f'{lo:.0f}-{hi:.0f}'
+
     lines += [
         '',
-        f"Throughput during these runs: reference "
-        f"{next(iter(results.values()))['reference'].get('images_per_sec', 0):.0f} img/s "
-        f"(TF, single CPU core incl. PIL decode) vs gltvae "
-        f"{next(iter(results.values()))['gltvae'].get('images_per_sec') or 0:.0f} img/s "
-        '(end-to-end incl. host decode).',
+        f'Throughput across the {len(results)} recorded cells: reference '
+        f'{rng(ref_tp)} img/s (TF, single CPU core incl. PIL decode) vs '
+        f'gltvae {rng(glt_tp)} img/s (end-to-end incl. host decode).',
     ]
     os.makedirs(os.path.dirname(os.path.abspath(args.report)), exist_ok=True)
     with open(args.report, 'w') as f:
