@@ -53,11 +53,20 @@ def synthetic_celeba(n: int = 512, image_size: int = 64, y_dim: int = 18,
 def synthetic_splits(n_train: int = 256, n_valid: int = 64, n_test: int = 64,
                      sup_frac: float = 0.5, image_size: int = 64,
                      y_dim: int = 18, seed: int = 0,
-                     learnable_signal: bool = False):
+                     learnable_signal: bool = False,
+                     train_pad: int = 0):
     """Dict of ArrayDatasets mimicking CelebAReader.setup_data_loaders
-    modes (utils_data.py:178-196): sup/unsup/valid/test by sup_frac."""
-    full = synthetic_celeba(n_train + n_valid + n_test, image_size, y_dim,
+    modes (utils_data.py:178-196): sup/unsup/valid/test by sup_frac.
+
+    train_pad mirrors DataConfig.augment_pad: train images come out at
+    image_size + 2*train_pad (the device random-crops back, fused_augment)
+    while valid/test stay at image_size (center-cropped from the padded
+    generation so the label signal geometry is shared)."""
+    gen_size = image_size + 2 * train_pad
+    full = synthetic_celeba(n_train + n_valid + n_test, gen_size, y_dim,
                             seed, learnable_signal=learnable_signal)
+    p = train_pad
+    eval_im = full.images[n_train:, p:p + image_size, p:p + image_size]
     train_im, train_lb = full.images[:n_train], full.labels[:n_train]
     out = {}
     if sup_frac == 0.0:
@@ -68,8 +77,8 @@ def synthetic_splits(n_train: int = 256, n_valid: int = 64, n_test: int = 64,
         k = int(n_train * sup_frac)
         out['sup'] = ArrayDataset(train_im[:k], train_lb[:k])
         out['unsup'] = ArrayDataset(train_im[k:], train_lb[k:])
-    out['valid'] = ArrayDataset(full.images[n_train:n_train + n_valid],
+    out['valid'] = ArrayDataset(eval_im[:n_valid],
                                 full.labels[n_train:n_train + n_valid])
-    out['test'] = ArrayDataset(full.images[n_train + n_valid:],
+    out['test'] = ArrayDataset(eval_im[n_valid:],
                                full.labels[n_train + n_valid:])
     return out

@@ -191,7 +191,8 @@ def make_loaders(args, data_cfg, train_cfg, y_dim):
             n_test=max(64, args.synthetic_n // 8),
             sup_frac=train_cfg.perc_supervision,
             image_size=data_cfg.image_size, y_dim=y_dim, seed=args.seed,
-            learnable_signal=args.synthetic_signal)
+            learnable_signal=args.synthetic_signal,
+            train_pad=data_cfg.augment_pad)
         loaders = {k: BatchLoader(v, train_cfg.batch_size, seed=args.seed,
                                   reshuffle_each_epoch=not args.parity)
                    for k, v in splits.items()}
