@@ -78,14 +78,25 @@ def load_partition_csv(path: str) -> Dict[str, int]:
     space-separated list_eval_partition.txt."""
     out: Dict[str, int] = {}
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, start=1):
             line = line.strip()
             if not line:
                 continue
             parts = (line.split(',') if ',' in line else line.split())
             if parts[0] == 'image_id':
                 continue                       # header
-            out[parts[0]] = int(parts[1])
+            if len(parts) < 2 or not parts[0]:
+                raise ValueError(
+                    f'{path}:{lineno}: malformed partition row {line!r} '
+                    f'— expected "<image_id>,<partition>" (or '
+                    f'space-separated); is the file truncated?')
+            try:
+                out[parts[0]] = int(parts[1])
+            except ValueError:
+                raise ValueError(
+                    f'{path}:{lineno}: partition column {parts[1]!r} is '
+                    f'not an integer (expected 0=train, 1=valid, 2=test) '
+                    f'in row {line!r}') from None
     return out
 
 

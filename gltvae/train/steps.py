@@ -258,12 +258,32 @@ def _prep_image(x, image_size: int):
     Only a genuine full-res ship (both dims strictly larger than the
     model resolution, e.g. CelebA's 218x178) is resized; any other
     mismatch is a miswired loader and raises rather than silently
-    coercing the data."""
+    coercing the data.
+
+    A SQUARE batch less than 2x the model resolution is refused even
+    though it is technically downscalable: that shape is exactly what a
+    padded augmentation loader ships (image_size + 2*pad), and reaching
+    this function with it means TrainConfig.augment_pad=0 while
+    DataConfig.augment_pad>0 — the crop never ran, and a silent bilinear
+    downscale would train on blurrier, geometry-shifted images than the
+    eval split. Legitimate device_resize ships are either non-square
+    (CelebA 218x178) or comfortably larger than 2x; a square source
+    below that should be host-resized instead."""
     x = _as_f32_image(x)
     h, w = x.shape[-3], x.shape[-2]
     if h == image_size and w == image_size:
         return x
     if h > image_size and w > image_size:
+        if h == w and h < 2 * image_size:
+            raise ValueError(
+                f'square {h}x{h} train batch at under 2x the model '
+                f'resolution {image_size}: this looks like a padded '
+                f'augmentation loader (DataConfig.augment_pad='
+                f'{(h - image_size) // 2}) feeding a step built with '
+                f'TrainConfig.augment_pad=0 — set both pads to the same '
+                f'value (train.py wires them from one --augment-pad '
+                f'flag). If this really is a square full-res ship, '
+                f'host-resize it instead of device_resize')
         from gltvae.ops.resize import resize_bilinear
         return resize_bilinear(x, image_size, image_size)
     raise ValueError(

@@ -119,6 +119,40 @@ def test_model_config_roundtrip(tmp_path):
     assert load_model_config(str(tmp_path / 'nope')) is None
 
 
+def test_resolve_model_config_flag_semantics(tmp_path, capsys):
+    """tools.infer.resolve_model_config: --z-dim must be honored at any
+    --image-size (it was silently dropped for 128px runs without a
+    recorded config), defaulted flags must not print conflict notes
+    against a recorded config, and an explicitly conflicting flag must."""
+    import argparse
+    from gltvae.config import ModelConfig, celeba128, save_model_config
+    from tools.infer import resolve_model_config
+
+    def ns(checkpoint, **kw):
+        base = dict(checkpoint=checkpoint, image_size=None, gate_type=None,
+                    gate_subtype=None, z_dim=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    # no recorded config: z_dim override applies at 128px too
+    cfg = resolve_model_config(ns(str(tmp_path / 'none'),
+                                  image_size=128, z_dim=100))
+    assert cfg.z_dim == 100
+    assert cfg.image_size == 128
+    # defaults-only reconstruction matches ModelConfig defaults
+    assert resolve_model_config(ns(str(tmp_path / 'none'))) == ModelConfig()
+
+    # recorded config wins; defaulted flags stay silent
+    rec = ModelConfig(z_dim=60, gate_type='fixed', gate_subtype='one-one')
+    save_model_config(rec, str(tmp_path))
+    capsys.readouterr()
+    assert resolve_model_config(ns(str(tmp_path))) == rec
+    assert 'note:' not in capsys.readouterr().out
+    # an explicitly conflicting flag is noted (and still overridden)
+    assert resolve_model_config(ns(str(tmp_path), z_dim=45)) == rec
+    assert 'z-dim=60' in capsys.readouterr().out
+
+
 def test_render_cli_smoke(tmp_path, monkeypatch):
     """tools/render.py: traversal PNG from a fresh init (the north-star
     renderer's user-facing surface; previously never CLI-driven in

@@ -349,6 +349,25 @@ class TestCelebAReader:
         with pytest.raises(ValueError, match='absent from'):
             CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
 
+    def test_split_file_malformed_rows_diagnosed(self, tmp_path):
+        """Malformed partition rows must raise a ValueError naming the
+        file and line number, not a bare IndexError/ValueError from
+        int(parts[1]) — truncated downloads and trailing-comma rows are
+        the common real-world shapes."""
+        from gltvae.data.celeba import load_partition_csv
+        short = tmp_path / 'short_row.csv'
+        short.write_text('image_id,partition\n000001.jpg,0\n000002.jpg\n')
+        with pytest.raises(ValueError, match=r'short_row\.csv:3'):
+            load_partition_csv(str(short))
+        trailing = tmp_path / 'trailing.csv'
+        trailing.write_text('image_id,partition\n000001.jpg,\n')
+        with pytest.raises(ValueError, match=r'trailing\.csv:2'):
+            load_partition_csv(str(trailing))
+        notint = tmp_path / 'notint.csv'
+        notint.write_text('image_id,partition\n000001.jpg,train\n')
+        with pytest.raises(ValueError, match='not an integer'):
+            load_partition_csv(str(notint))
+
     def test_n_test_honored_not_remainder(self, tmp_path):
         """--n-test must bound the test split; extra CSV rows beyond
         n_train+n_valid+n_test stay out (previously the test split

@@ -106,3 +106,19 @@ def test_prep_image_rejects_non_fullres_mismatch():
         _prep_image(jnp.zeros((2, 32, 32, 3), jnp.uint8), 64)
     with pytest.raises(ValueError, match='resolution'):
         _prep_image(jnp.zeros((2, 64, 32, 3), jnp.uint8), 64)
+
+
+def test_prep_image_rejects_padded_looking_square_batch():
+    """A square batch under 2x the model resolution is exactly what a
+    padded augmentation loader ships (image_size + 2*pad). Reaching
+    _prep_image with one means DataConfig.augment_pad > 0 while
+    TrainConfig.augment_pad == 0 (the crop never ran) — this must raise
+    the desync error, not silently bilinear-downscale the train split.
+    Square ships at >= 2x remain a legitimate full-res resize."""
+    import jax.numpy as jnp
+    import pytest
+    from gltvae.train.steps import _prep_image
+    with pytest.raises(ValueError, match='augment_pad'):
+        _prep_image(jnp.zeros((2, 72, 72, 3), jnp.uint8), 64)
+    ok = _prep_image(jnp.zeros((2, 128, 128, 3), jnp.uint8), 64)
+    assert ok.shape == (2, 64, 64, 3)

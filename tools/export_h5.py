@@ -27,15 +27,18 @@ def parse_args(argv=None):
                    help="which slot to export ('best' = best_step)")
     p.add_argument('--out', default=None,
                    help='output dir (default: the checkpoint dir itself)')
-    p.add_argument('--image-size', type=int, default=64, choices=[64, 128])
-    p.add_argument('--gate-type', default='learnable',
+    p.add_argument('--image-size', type=int, default=None,
+                   choices=[64, 128], help='default 64')
+    p.add_argument('--gate-type', default=None,
                    choices=['learnable', 'fixed'],
-                   help='must match the trained run (optimizer-state tree)')
-    p.add_argument('--gate-subtype', default='inferred',
-                   choices=['one-one', 'inferred'])
-    p.add_argument('--z-dim', type=int, default=45,
-                   help='latent size of the trained run (ignored when the '
-                        'run dir carries model_config.json)')
+                   help='must match the trained run (optimizer-state '
+                        'tree); default learnable')
+    p.add_argument('--gate-subtype', default=None,
+                   choices=['one-one', 'inferred'], help='default inferred')
+    p.add_argument('--z-dim', type=int, default=None,
+                   help='latent size of the trained run when non-default '
+                        '(ignored when the run dir carries '
+                        'model_config.json)')
     from gltvae.utils.platform import add_platform_arg
     add_platform_arg(p)
     return p.parse_args(argv)

@@ -37,12 +37,14 @@ def parse_args(argv=None):
                         '<output>.recon is written')
     p.add_argument('--with-reconstruct', action='store_true',
                    help='also export the reconstruction path')
-    p.add_argument('--image-size', type=int, default=64, choices=[64, 128])
-    p.add_argument('--gate-type', default='learnable',
-                   choices=['learnable', 'fixed'])
-    p.add_argument('--gate-subtype', default='inferred',
-                   choices=['one-one', 'inferred'])
-    p.add_argument('--z-dim', type=int, default=45)
+    p.add_argument('--image-size', type=int, default=None,
+                   choices=[64, 128], help='default 64')
+    p.add_argument('--gate-type', default=None,
+                   choices=['learnable', 'fixed'], help='default learnable')
+    p.add_argument('--gate-subtype', default=None,
+                   choices=['one-one', 'inferred'], help='default inferred')
+    p.add_argument('--z-dim', type=int, default=None,
+                   help='latent size when non-default')
     p.add_argument('--mu', default=None,
                    help='gating-matrix .npy for fixed-mode h5 checkpoints')
     p.add_argument('--platforms', default='cpu,tpu',

@@ -35,17 +35,22 @@ def parse_args(argv=None):
                    help='directory of JPEG/PNG images')
     p.add_argument('--output', default='predictions.csv')
     p.add_argument('--batch-size', type=int, default=256)
-    p.add_argument('--image-size', type=int, default=64, choices=[64, 128])
-    p.add_argument('--gate-type', default='learnable',
+    p.add_argument('--image-size', type=int, default=None,
+                   choices=[64, 128],
+                   help='default 64 (ignored when the run dir carries '
+                        'model_config.json)')
+    p.add_argument('--gate-type', default=None,
                    choices=['learnable', 'fixed'],
                    help='must match the trained run for Orbax checkpoints '
                         '(the optimizer-state tree differs between '
-                        'learnable and fixed gating)')
-    p.add_argument('--gate-subtype', default='inferred',
-                   choices=['one-one', 'inferred'])
-    p.add_argument('--z-dim', type=int, default=45,
-                   help='latent size of the trained run (ignored when the '
-                        'run dir carries model_config.json — train.py '
+                        'learnable and fixed gating); default learnable')
+    p.add_argument('--gate-subtype', default=None,
+                   choices=['one-one', 'inferred'],
+                   help='default inferred')
+    p.add_argument('--z-dim', type=int, default=None,
+                   help='latent size of the trained run when it differs '
+                        'from the config default (ignored when the run '
+                        'dir carries model_config.json — train.py '
                         'records it automatically)')
     p.add_argument('--num-workers', type=int, default=4,
                    help='decode worker threads (overlap JPEG decode with '
@@ -113,19 +118,26 @@ def resolve_model_config(args):
     from gltvae.config import ModelConfig, celeba128, load_model_config
     recorded = load_model_config(args.checkpoint)
     if recorded is not None:
+        # Every model flag defaults to None so an explicitly typed value
+        # is distinguishable from a defaulted one: conflict notes fire
+        # only when the user actually passed a flag that disagrees with
+        # the recorded config (the recorded value wins either way).
         for flag, val in (('image-size', args.image_size),
                           ('gate-type', args.gate_type),
                           ('gate-subtype', args.gate_subtype),
-                          ('z-dim', getattr(args, 'z_dim', recorded.z_dim))):
+                          ('z-dim', getattr(args, 'z_dim', None))):
             rec = getattr(recorded, flag.replace('-', '_'))
-            if rec != val:
-                print(f'note: run dir records --{flag}={rec} '
-                      f'(overriding the CLI value {val})')
+            if val is not None and rec != val:
+                print(f'note: run dir records --{flag}={rec}; ignoring '
+                      f'the conflicting CLI value {val}')
         return recorded
     cfg = (celeba128()[0] if args.image_size == 128 else ModelConfig())
-    overrides = {'gate_type': args.gate_type,
-                 'gate_subtype': args.gate_subtype}
-    if getattr(args, 'z_dim', None) is not None and args.image_size != 128:
+    overrides = {}
+    if args.gate_type is not None:
+        overrides['gate_type'] = args.gate_type
+    if args.gate_subtype is not None:
+        overrides['gate_subtype'] = args.gate_subtype
+    if getattr(args, 'z_dim', None) is not None:
         overrides['z_dim'] = args.z_dim
     return dataclasses.replace(cfg, **overrides)
 

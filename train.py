@@ -106,8 +106,11 @@ def parse_args(argv=None):
                         'add --decode-backend pil: PIL\'s resize is '
                         'antialiased, cv2 INTER_LINEAR is not')
     p.add_argument('--steps-per-dispatch', type=int, default=1,
-                   help='lax.scan N same-kind steps per device dispatch '
-                        '(uniform schedules only; semantics identical)')
+                   help='lax.scan N steps per device dispatch; uniform '
+                        'schedules scan same-kind chunks, the semi-sup '
+                        'interleave (sup 0.2/0.5) scans mixed chunks '
+                        'with a static per-step sup mask — semantics '
+                        'identical to per-step dispatch either way')
     p.add_argument('--num-workers', type=int, default=8)
     p.add_argument('--decode-backend', default='auto',
                    choices=['auto', 'cv2', 'pil', 'native', 'grain'],
