@@ -170,13 +170,18 @@ def _compiled_analyses(jitted, args, secs_per_step):
     return hbm, roof
 
 
-def bench_eval(batch_size: int, iters: int = 30, scan: int = 32,
+def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
                prng: str = 'rbg'):
     """Stochastic eval throughput via the scanned eval path — the same
     make_scan_eval_step Trainer.evaluate dispatches (reference baseline:
     ~400-450 img/s, BASELINE.md eval rows). Round 1 measured the
     per-dispatch path at ~9.5k img/s, tunnel-RPC bound; scanning batches
-    amortizes the host round-trip. Fenced by a host fetch."""
+    amortizes the host round-trip. Fenced by a host fetch.
+
+    Defaults from the round-3 scan-length sweep (BENCH_NOTES): 32→64
+    batches/dispatch lifted the measured rate 1.94M→2.09M img/s (the
+    remaining per-dispatch host cost halves); 128/256 add only ~1-4%
+    more for 2-4x the HBM working set, so 64 is the knee."""
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig
