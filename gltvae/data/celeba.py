@@ -228,11 +228,16 @@ class CelebAReader:
 
     def __init__(self, cfg: DataConfig, sup_frac: float, batch_size: int,
                  *, seed: int = 0, num_workers: Optional[int] = None,
-                 reshuffle_each_epoch: bool = True):
+                 reshuffle_each_epoch: bool = True,
+                 shard: Optional[Tuple[int, int]] = None):
         self.cfg = cfg
         self.sup_frac = sup_frac
         self.batch_size = batch_size
         self.seed = seed
+        # (process_index, process_count): host-sharded multi-host input —
+        # each process decodes only its 1/N slice of every global batch
+        # (BatchLoader.shard); pair with Trainer(local_batches=True)
+        self.shard = shard
         self.num_workers = (cfg.num_workers if num_workers is None
                             else num_workers)
         self.reshuffle = reshuffle_each_epoch
@@ -357,6 +362,11 @@ class CelebAReader:
                                  'input stage)')
             size = size + 2 * self.cfg.augment_pad
         if backend == 'grain':
+            if self.shard is not None:
+                raise ValueError(
+                    'shard= is for the cv2/pil/native BatchLoader path; '
+                    'grain shards per-host via its own shard_options '
+                    '(gltvae/data/grain_loader.py)')
             from gltvae.data import grain_loader
             if not grain_loader.is_available():
                 raise RuntimeError('decode_backend=grain: grain is not '
@@ -387,4 +397,4 @@ class CelebAReader:
             # the native pool parallelizes INSIDE fetch(); one loader
             # worker thread just keeps prefetch ahead of the device
             num_workers=1 if backend == 'native' else self.num_workers,
-            prefetch=self.cfg.prefetch_batches)
+            prefetch=self.cfg.prefetch_batches, shard=self.shard)

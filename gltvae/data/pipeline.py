@@ -48,13 +48,35 @@ class BatchLoader:
     """Infinite wrap-around batch stream with optional worker prefetch.
 
     `n_s` and `epoch_batches` mirror the reference loader's accounting
-    (utils_data.py:36, gated_ccvae.py:320-334 uses ceil(n_s/bs))."""
+    (utils_data.py:36, gated_ccvae.py:320-334 uses ceil(n_s/bs)).
+
+    `shard=(process_index, process_count)` enables HOST-SHARDED multi-host
+    input: every process generates the identical seed-coordinated global
+    index stream (so DP semantics stay mesh-shape-independent), but each
+    fetches/decodes only its own contiguous 1/N slice of every batch —
+    rows [p*B/N, (p+1)*B/N), matching the global-array row ownership of
+    parallel/dp.shard_batch(local=True). This removes the N-x redundant
+    JPEG decode of the replicate-then-slice convention (each host decodes
+    exactly global/N images; the reference's single-host loader,
+    utils_data.py:48-63, is the bottleneck being multiplied)."""
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  reshuffle_each_epoch: bool = True, seed: int = 0,
-                 num_workers: int = 0, prefetch: int = 4):
+                 num_workers: int = 0, prefetch: int = 4,
+                 shard: Optional[Tuple[int, int]] = None):
         self.dataset = dataset
         self.bs = batch_size
+        if shard is not None:
+            pid, pc = shard
+            if not (0 <= pid < pc):
+                raise ValueError(f'shard process_index {pid} out of range '
+                                 f'for process_count {pc}')
+            if batch_size % pc:
+                raise ValueError(
+                    f'host-sharded loading needs batch_size divisible by '
+                    f'process_count (got {batch_size} % {pc}) — rows would '
+                    f'be silently dropped')
+        self.shard = shard
         self.n_s = len(dataset)
         self.shuffle = shuffle
         self.reshuffle_each_epoch = reshuffle_each_epoch
@@ -119,6 +141,16 @@ class BatchLoader:
     def _next_batch_idxs(self) -> np.ndarray:
         return self._advance(self._cur)
 
+    def _local(self, idxs: np.ndarray) -> np.ndarray:
+        """This process's slice of a global batch's indices (identity when
+        unsharded). Slicing AFTER the global stream is generated keeps the
+        permutation/cursor state identical on every process."""
+        if self.shard is None:
+            return idxs
+        pid, pc = self.shard
+        ls = len(idxs) // pc
+        return idxs[pid * ls:(pid + 1) * ls]
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if self.num_workers > 0:
             return self._threaded_iter()
@@ -126,7 +158,7 @@ class BatchLoader:
 
     def _sync_iter(self):
         while True:
-            yield self.dataset.fetch(self._next_batch_idxs())
+            yield self.dataset.fetch(self._local(self._next_batch_idxs()))
 
     def _threaded_iter(self):
         """Bounded pipeline: index generation stays ordered on one feeder
@@ -180,7 +212,7 @@ class BatchLoader:
                     seq, idxs = idx_q.get(timeout=0.1)
                 except queue.Empty:
                     continue
-                batch = self.dataset.fetch(idxs)
+                batch = self.dataset.fetch(self._local(idxs))
                 with cv:
                     out[seq] = batch
                     cv.notify_all()

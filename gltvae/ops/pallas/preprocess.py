@@ -181,6 +181,11 @@ def _draw_crop_flip(key, B: int, H: int, W: int, S: int, flip: bool):
     return dy, dx, fl
 
 
+# public name: the Trainer's mesh path draws GLOBAL-batch vectors itself
+# (then slices per shard) so augmented runs are mesh-shape-invariant
+draw_crop_flip = _draw_crop_flip
+
+
 @functools.partial(jax.jit, static_argnames=('out_size', 'interpret',
                                              'scale', 'channels'))
 def _fused_augment(u8_flat, dy, dx, flip, out_size: int,
@@ -203,21 +208,54 @@ def _fused_augment(u8_flat, dy, dx, flip, out_size: int,
     )(dy, dx, flip, u8_flat)
 
 
-def fused_augment(u8: jax.Array, key: jax.Array, out_size: int,
-                  flip: bool = True, scale: float = 1.0 / 255.0,
-                  interpret: Optional[bool] = None) -> jax.Array:
-    """uint8 [B, H, W, C] -> f32 [B, S, S, C]: per-image random crop to
-    S x S + random horizontal flip + x*scale, one fused Pallas pass."""
+def fused_augment_given(u8: jax.Array, dy: jax.Array, dx: jax.Array,
+                        fl: jax.Array, out_size: int,
+                        scale: float = 1.0 / 255.0,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """fused_augment with externally-drawn per-image (dy, dx, flip) [B]
+    vectors — the entry the mesh path uses: each shard draws the GLOBAL
+    batch's vectors from the replicated key and passes its own rows, so
+    augmented training is bit-identical across mesh shapes (and to the
+    single-device run)."""
     if interpret is None:
         interpret = not _is_tpu()
     B, H, W, C = u8.shape
     S = out_size
     if H < S or W < S:
         raise ValueError(f'input {H}x{W} smaller than crop {S}')
-    dy, dx, fl = _draw_crop_flip(key, B, H, W, S, flip)
     out = _fused_augment(u8.reshape(B, H, W * C), dy, dx, fl, S,
                          float(scale), interpret, channels=C)
     return out.reshape(B, S, S, C)
+
+
+def fused_augment_stacked_given(u8: jax.Array, dy: jax.Array,
+                                dx: jax.Array, fl: jax.Array,
+                                out_size: int,
+                                scale: float = 1.0 / 255.0,
+                                interpret: Optional[bool] = None
+                                ) -> jax.Array:
+    """Stacked twin of fused_augment_given: u8 [n, B, H, W, C] with
+    per-inner-step vectors [n, B]."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    n, B, H, W, C = u8.shape
+    S = out_size
+    if H < S or W < S:
+        raise ValueError(f'input {H}x{W} smaller than crop {S}')
+    out = _fused_augment(u8.reshape(n * B, H, W * C), dy.reshape(-1),
+                         dx.reshape(-1), fl.reshape(-1), S,
+                         float(scale), interpret, channels=C)
+    return out.reshape(n, B, S, S, C)
+
+
+def fused_augment(u8: jax.Array, key: jax.Array, out_size: int,
+                  flip: bool = True, scale: float = 1.0 / 255.0,
+                  interpret: Optional[bool] = None) -> jax.Array:
+    """uint8 [B, H, W, C] -> f32 [B, S, S, C]: per-image random crop to
+    S x S + random horizontal flip + x*scale, one fused Pallas pass."""
+    B, H, W, C = u8.shape
+    dy, dx, fl = _draw_crop_flip(key, B, H, W, out_size, flip)
+    return fused_augment_given(u8, dy, dx, fl, out_size, scale, interpret)
 
 
 def fused_augment_stacked(u8: jax.Array, keys: jax.Array, out_size: int,
@@ -231,18 +269,11 @@ def fused_augment_stacked(u8: jax.Array, keys: jax.Array, out_size: int,
     the per-step noise stream — training results stay invariant to
     --steps-per-dispatch (each inner step draws from its own key exactly
     as per-step dispatch would)."""
-    if interpret is None:
-        interpret = not _is_tpu()
     n, B, H, W, C = u8.shape
-    S = out_size
-    if H < S or W < S:
-        raise ValueError(f'input {H}x{W} smaller than crop {S}')
     dy, dx, fl = jax.vmap(
-        lambda k: _draw_crop_flip(k, B, H, W, S, flip))(keys)
-    out = _fused_augment(u8.reshape(n * B, H, W * C), dy.reshape(-1),
-                         dx.reshape(-1), fl.reshape(-1), S,
-                         float(scale), interpret, channels=C)
-    return out.reshape(n, B, S, S, C)
+        lambda k: _draw_crop_flip(k, B, H, W, out_size, flip))(keys)
+    return fused_augment_stacked_given(u8, dy, dx, fl, out_size, scale,
+                                       interpret)
 
 
 def augment_xla(u8: jax.Array, key: jax.Array, out_size: int,

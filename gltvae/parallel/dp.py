@@ -48,19 +48,28 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, repl)
 
 
-def _place(batch, sharding, mesh: Mesh, batch_axis: int):
+def _place(batch, sharding, mesh: Mesh, batch_axis: int,
+           local: bool = False):
     if not _multiprocess(mesh):
         return jax.device_put(batch, sharding)
-    # Multi-host: every process passes the IDENTICAL global batch (all
-    # processes run the same seeded loader); each keeps the slice its
-    # devices own and jax assembles the global array. Batch order within
-    # the global array follows mesh device order — irrelevant for DP
-    # semantics (the loss mean is permutation-invariant).
+    # Multi-host, two input conventions:
+    # - local=False (replicate-then-slice): every process passes the
+    #   IDENTICAL global batch (all processes run the same seeded loader);
+    #   each keeps the slice its devices own and jax assembles the global
+    #   array. Simple, but every host decodes N-x redundant data.
+    # - local=True (host-sharded): each process passes ONLY its own 1/N
+    #   rows (BatchLoader(shard=(pid, pc)) produces exactly these — the
+    #   same contiguous slice of the same seed-coordinated global stream),
+    #   so host decode work scales down with the process count.
+    # Batch order within the global array follows mesh device order —
+    # irrelevant for DP semantics (the loss mean is permutation-invariant).
     import numpy as np
     pc, pid = jax.process_count(), jax.process_index()
 
     def one(a):
         a = np.asarray(a)
+        if local:
+            return jax.make_array_from_process_local_data(sharding, a)
         if a.shape[batch_axis] % pc:
             raise ValueError(
                 f'global batch dim {a.shape[batch_axis]} not divisible by '
@@ -73,17 +82,22 @@ def _place(batch, sharding, mesh: Mesh, batch_axis: int):
     return jax.tree.map(one, batch)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch onto the mesh, split along the leading dim."""
-    return _place(batch, batch_sharding(mesh), mesh, batch_axis=0)
+def shard_batch(batch, mesh: Mesh, local: bool = False):
+    """Place a host batch onto the mesh, split along the leading dim.
+    local=True: on a multi-host mesh, `batch` holds only THIS process's
+    rows (a host-sharded loader's output) instead of the global batch."""
+    return _place(batch, batch_sharding(mesh), mesh, batch_axis=0,
+                  local=local)
 
 
-def shard_stacked_batch(batch, mesh: Mesh):
+def shard_stacked_batch(batch, mesh: Mesh, local: bool = False):
     """Place stacked [n_inner, B, ...] scan batches onto the mesh: the
     scan axis stays whole, B splits across 'data' (matches the
     in_shardings of the scan step functions — placing with plain
-    shard_batch would trigger an on-device reshard at dispatch)."""
-    return _place(batch, stacked_batch_sharding(mesh), mesh, batch_axis=1)
+    shard_batch would trigger an on-device reshard at dispatch).
+    local=True as in shard_batch (per-process rows on axis 1)."""
+    return _place(batch, stacked_batch_sharding(mesh), mesh, batch_axis=1,
+                  local=local)
 
 
 def make_parallel_train_steps(model: CCVAE, train_cfg: TrainConfig,

@@ -53,7 +53,8 @@ class Trainer:
                  metrics_path: Optional[str] = None,
                  tensorboard_dir: Optional[str] = None,
                  nan_check_every: int = 50,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1,
+                 local_batches: bool = False):
         self.model = CCVAE(model_cfg)
         self.cfg = train_cfg
         self.mesh = mesh
@@ -87,8 +88,12 @@ class Trainer:
                     self.model, train_cfg, mesh)
             self._eval_step = make_parallel_eval_step(self.model, train_cfg,
                                                       mesh)
-            self._place = lambda b: shard_batch(b, mesh)
-            self._place_stacked = lambda b: shard_stacked_batch(b, mesh)
+            # local_batches: loaders are host-sharded (BatchLoader shard=
+            # (pid, pc)) — each process supplies only its own 1/N rows
+            self._place = lambda b: shard_batch(b, mesh,
+                                                local=local_batches)
+            self._place_stacked = lambda b: shard_stacked_batch(
+                b, mesh, local=local_batches)
         else:
             from gltvae.train.steps import (make_scan_train_steps,
                                             make_scan_eval_step)
@@ -174,11 +179,16 @@ class Trainer:
         (An eager host-side jax.random.split here would cost one extra
         tiny-dispatch per training dispatch, the exact overhead the scan
         path amortizes away.) Under a mesh the kernel runs per-shard via
-        shard_map (a Pallas call is not auto-partitioned), with the base
-        key decorrelated across shards by folding in the data axis
-        index."""
+        shard_map (a Pallas call is not auto-partitioned); every shard
+        draws the GLOBAL batch's (dy, dx, flip) vectors from the
+        replicated key and keeps only its own rows, so augmented training
+        is bit-identical across mesh shapes AND to the single-device run
+        (the scalar draw is trivially cheap next to the image kernel)."""
         from gltvae.ops.pallas.preprocess import (fused_augment,
-                                                  fused_augment_stacked)
+                                                  fused_augment_stacked,
+                                                  fused_augment_given,
+                                                  fused_augment_stacked_given,
+                                                  draw_crop_flip)
         import jax.numpy as jnp
 
         pad = self.cfg.augment_pad
@@ -214,17 +224,48 @@ class Trainer:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from gltvae.parallel.mesh import DATA_AXIS
+        n_shards = self.mesh.shape[DATA_AXIS]
 
         def sharded(u8, base_key, step):
             spec = P(None, DATA_AXIS) if u8.ndim == 5 else P(DATA_AXIS)
+            expect = out_size + 2 * pad
+            if u8.shape[-3] != expect or u8.shape[-2] != expect:
+                raise ValueError(
+                    f'augment_pad desync: TrainConfig.augment_pad={pad} '
+                    f'expects {expect}x{expect} train images but the '
+                    f'loader produced {u8.shape[-3]}x{u8.shape[-2]} — set '
+                    f'DataConfig.augment_pad to the same value')
 
             def body(u8s, bk, st):
-                # per-shard decorrelation of the BASE key: every mesh
-                # path keys inner step i from fold(fold(base, axis),
-                # step+i), so mesh runs are steps-per-dispatch-invariant
-                # exactly like single-device runs
+                # mesh-shape-invariant noise: draw the GLOBAL batch's
+                # (dy, dx, flip) on every shard from the replicated key
+                # (folded per inner step, so --steps-per-dispatch stays
+                # invariant too), then keep this shard's contiguous rows
+                # — shard ax of batch_sharding owns global rows
+                # [ax*B_local, (ax+1)*B_local)
                 ax = jax.lax.axis_index(DATA_AXIS)
-                return aug(u8s, jax.random.fold_in(bk, ax), st)
+                H, W = u8s.shape[-3], u8s.shape[-2]
+                if u8s.ndim == 5:                  # stacked scan chunk
+                    n, b_local = u8s.shape[0], u8s.shape[1]
+                    keys = jax.vmap(
+                        lambda i: jax.random.fold_in(bk, st + i)
+                    )(jnp.arange(n))
+                    dy, dx, fl = jax.vmap(
+                        lambda k: draw_crop_flip(k, b_local * n_shards,
+                                                 H, W, out_size, True)
+                    )(keys)
+                    sl = lambda v: jax.lax.dynamic_slice_in_dim(
+                        v, ax * b_local, b_local, axis=1)
+                    return fused_augment_stacked_given(
+                        u8s, sl(dy), sl(dx), sl(fl), out_size)
+                b_local = u8s.shape[0]
+                dy, dx, fl = draw_crop_flip(
+                    jax.random.fold_in(bk, st), b_local * n_shards,
+                    H, W, out_size, True)
+                sl = lambda v: jax.lax.dynamic_slice_in_dim(
+                    v, ax * b_local, b_local, axis=0)
+                return fused_augment_given(u8s, sl(dy), sl(dx), sl(fl),
+                                           out_size)
             # a pallas_call inside shard_map needs the varying-across-
             # mesh-axes check disabled (its out_shape carries no vma)
             sm = shard_map(body, mesh=self.mesh, in_specs=(spec, P(), P()),

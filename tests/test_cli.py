@@ -53,9 +53,10 @@ def test_invalid_choice_rejected():
 def test_synthetic_loaders_modes():
     a = cli.parse_args(['--synthetic', '-bs', '8'])
     _, t, d = cli.build_configs(a, sup=0.5)
-    loaders, mu = cli.make_loaders(a, d, t, y_dim=18)
+    loaders, mu, local = cli.make_loaders(a, d, t, y_dim=18)
     assert set(loaders) == {'sup', 'unsup', 'valid', 'test'}
     assert mu.shape == (18, 18)
+    assert local is False                 # single-process: global batches
 
 
 def test_partial_dist_flags_rejected():

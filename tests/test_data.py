@@ -130,6 +130,31 @@ class TestBatchLoader:
         for a, b in zip(first, again):
             np.testing.assert_array_equal(a, b)
 
+    def test_shard_slices_identical_global_stream(self):
+        """Host-sharded mode: N shard loaders with the same seed yield,
+        per batch, contiguous 1/N slices whose concatenation (in process
+        order) is exactly the unsharded loader's global batch — the
+        invariant parallel/dp.shard_batch(local=True) relies on. Each
+        shard fetches exactly bs/N rows (the decode saving)."""
+        ds = make_ds(20, y=3)
+        full = iter(BatchLoader(ds, 8, shuffle=True, seed=5))
+        parts = [iter(BatchLoader(ds, 8, shuffle=True, seed=5,
+                                  shard=(p, 4))) for p in range(4)]
+        for _ in range(9):          # crosses epoch boundaries (n=20, bs=8)
+            xf, yf = next(full)
+            got = [next(p) for p in parts]
+            assert all(x.shape[0] == 2 for x, _ in got)
+            np.testing.assert_array_equal(
+                xf, np.concatenate([x for x, _ in got]))
+            np.testing.assert_array_equal(
+                yf, np.concatenate([y for _, y in got]))
+
+    def test_shard_validation(self):
+        with pytest.raises(ValueError, match='divisible'):
+            BatchLoader(make_ds(10), 5, shard=(0, 2))
+        with pytest.raises(ValueError, match='out of range'):
+            BatchLoader(make_ds(10), 4, shard=(2, 2))
+
 
 class TestSynthetic:
     def test_shapes_and_dtypes(self):

@@ -87,6 +87,14 @@ def parse_args(argv=None):
                         'does a fused random-crop+hflip+normalize back '
                         'to S (ops/pallas fused_augment). 0 = off '
                         '(reference semantics)')
+    p.add_argument('--posterior-locs', default='relu',
+                   choices=['relu', 'linear'],
+                   help="posterior-mean head: 'relu' = the reference's "
+                        'nonnegative means (networks.py:17, parity '
+                        "default); 'linear' drops the ReLU — removes the "
+                        'sup=1.0 one-one seed-fragility basin that the '
+                        'nonnegativity constraint causes (measured, '
+                        'docs/HEAD2HEAD.md)')
     p.add_argument('--deterministic-eval', action='store_true',
                    help='mean-z / expected-gate eval instead of the '
                         'reference stochastic eval')
@@ -154,13 +162,15 @@ def build_configs(args, sup):
     if args.image_size == 128:
         model_cfg, _ = celeba128(gate_type=args.gate_type, sup=sup,
                                  gate_subtype=args.gate_subtype)
-        model_cfg = dataclasses.replace(model_cfg,
-                                        compute_dtype=args.compute_dtype)
+        model_cfg = dataclasses.replace(
+            model_cfg, compute_dtype=args.compute_dtype,
+            posterior_locs=args.posterior_locs)
     else:
         model_cfg = ModelConfig(z_dim=args.z_dim,
                                 gate_type=args.gate_type,
                                 gate_subtype=args.gate_subtype,
-                                compute_dtype=args.compute_dtype)
+                                compute_dtype=args.compute_dtype,
+                                posterior_locs=args.posterior_locs)
     train_cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, perc_supervision=sup,
                             gating_reg=args.l1_reg, seed=args.seed,
@@ -186,6 +196,13 @@ def build_configs(args, sup):
 
 def make_loaders(args, data_cfg, train_cfg, y_dim):
     from gltvae.data.pipeline import BatchLoader
+    # Multi-host: host-shard the input — each process decodes only its
+    # own 1/N rows of every global batch (BatchLoader.shard, paired with
+    # Trainer(local_batches=True)); grain shards via its own shard_options
+    import jax
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1
+             and args.decode_backend != 'grain' else None)
     if args.synthetic:
         from gltvae.data.synthetic import synthetic_splits
         from gltvae.ops.gating import gating_matrix_from_labels
@@ -197,17 +214,20 @@ def make_loaders(args, data_cfg, train_cfg, y_dim):
             learnable_signal=args.synthetic_signal,
             train_pad=data_cfg.augment_pad)
         loaders = {k: BatchLoader(v, train_cfg.batch_size, seed=args.seed,
-                                  reshuffle_each_epoch=not args.parity)
+                                  reshuffle_each_epoch=not args.parity,
+                                  shard=shard)
                    for k, v in splits.items()}
         sup_lbl = splits['sup'].labels if 'sup' in splits else None
         mu = gating_matrix_from_labels(sup_lbl, splits['valid'].labels,
                                        y_dim, train_cfg.perc_supervision)
-        return loaders, mu
+        return loaders, mu, shard is not None
     from gltvae.data.celeba import CelebAReader
     reader = CelebAReader(data_cfg, train_cfg.perc_supervision,
                           train_cfg.batch_size, seed=args.seed,
-                          reshuffle_each_epoch=not args.parity)
-    return reader.setup_data_loaders(), reader.init_gating_prob
+                          reshuffle_each_epoch=not args.parity,
+                          shard=shard)
+    return reader.setup_data_loaders(), reader.init_gating_prob, \
+        shard is not None
 
 
 def run(args, sup: float):
@@ -240,8 +260,8 @@ def run(args, sup: float):
     logger.info('config: %s', json.dumps({
         'model': model_cfg.__dict__, 'train': train_cfg.__dict__}, default=str))
 
-    loaders, mu_init = make_loaders(args, data_cfg, train_cfg,
-                                    model_cfg.y_dim)
+    loaders, mu_init, local_batches = make_loaders(args, data_cfg, train_cfg,
+                                                   model_cfg.y_dim)
 
     mesh = None
     if args.mesh:
@@ -260,7 +280,8 @@ def run(args, sup: float):
                       tensorboard_dir=(os.path.join(args.tensorboard,
                                                     run_name)
                                        if args.tensorboard else None),
-                      steps_per_dispatch=args.steps_per_dispatch)
+                      steps_per_dispatch=args.steps_per_dispatch,
+                      local_batches=local_batches)
 
     if args.init_from_h5:
         from gltvae.utils.h5_import import load_reference_checkpoint
