@@ -67,6 +67,15 @@ class ModelConfig:
     # Uniform Bernoulli label prior p(y). The reference keeps this as a
     # reassignable variable pinned at 0.5 (gated_ccvae.py:137-141).
     label_prior: float = 0.5
+    # Posterior-mean head activation. 'relu' reproduces the reference's
+    # unusual NONNEGATIVE posterior means (networks.py:17) — which
+    # docs/HEAD2HEAD.md pinned as the cause of the sup=1.0 one-one seed
+    # bimodality (symmetry-breaking failure: a unit whose pre-activation
+    # mean starts negative is stuck at loc 0 and can never flip sign to
+    # align with its label). 'linear' drops the ReLU (standard VAE
+    # posterior), removing that plateau basin; opt-in, parity default
+    # unchanged.
+    posterior_locs: str = 'relu'
     # Compute dtype for conv/matmul-heavy paths. Params always f32.
     compute_dtype: str = 'float32'
 
@@ -77,6 +86,8 @@ class ModelConfig:
             raise ValueError(f'gate_subtype must be one of {GATE_SUBTYPES}')
         if self.z_classify > self.z_dim:
             raise ValueError('y_dim (== z_classify) must be <= z_dim')
+        if self.posterior_locs not in ('relu', 'linear'):
+            raise ValueError("posterior_locs must be 'relu' or 'linear'")
 
     @property
     def z_classify(self) -> int:

@@ -66,8 +66,8 @@ class CCVAE:
     def encoder(self) -> Encoder:
         c = self.cfg
         return Encoder(z_dim=c.z_dim, features=c.enc_features,
-                       hidden=c.enc_hidden, dtype=c.dtype,
-                       precision=c.matmul_precision)
+                       hidden=c.enc_hidden, locs_act=c.posterior_locs,
+                       dtype=c.dtype, precision=c.matmul_precision)
 
     @property
     def decoder(self) -> Decoder:

@@ -84,11 +84,18 @@ class Encoder(nn.Module):
     Dense locs (ReLU — the reference's unusual nonnegative posterior
     means, networks.py:17) and Dense scale (softplus, clipped to
     [1e-3, 1e3], networks.py:18,33-34).
+
+    locs_act='linear' (ModelConfig.posterior_locs) drops the locs ReLU —
+    the standard VAE head. docs/HEAD2HEAD.md traced the reference's
+    sup=1.0 one-one seed bimodality to the nonnegativity constraint, so
+    this is the framework's measured out-train knob; 'relu' stays the
+    parity default (all goldens pin it).
     """
 
     z_dim: int
     features: Sequence[int] = (32, 32, 64, 128)
     hidden: int = 256
+    locs_act: str = 'relu'
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -107,8 +114,10 @@ class Encoder(nn.Module):
                     name=f'conv{len(self.features) + 1}')(h)
         h = nn.relu(h)
         h = h.reshape((h.shape[0], -1))
-        locs = nn.relu(nn.Dense(self.z_dim, kernel_init=glorot, dtype=self.dtype,
-                                precision=self.precision, name='locs')(h))
+        locs = nn.Dense(self.z_dim, kernel_init=glorot, dtype=self.dtype,
+                        precision=self.precision, name='locs')(h)
+        if self.locs_act == 'relu':
+            locs = nn.relu(locs)
         scale = nn.Dense(self.z_dim, kernel_init=glorot, dtype=self.dtype,
                          precision=self.precision, name='scale')(h)
         # Scale head numerics stay f32 regardless of compute dtype.
