@@ -2,31 +2,59 @@
 
 Drop-in decode backend for ImageFolderDataset: decodes a whole batch of
 JPEGs in parallel with libjpeg outside the GIL, bilinear-resizes, and
-writes uint8 RGB straight into a numpy buffer. Build with
-`make -C native`; `is_available()` gates tests and falls back to
-cv2/PIL when the shared library is absent.
+writes uint8 RGB straight into a numpy buffer.
+
+The shared library is built FROM SOURCE on first use (`make -C native`,
+~1 s; also rebuilt when loader.cpp is newer than the .so) — no binary is
+vendored in git. `is_available()` gates tests and falls back to cv2/PIL
+when the toolchain/libjpeg is absent.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from typing import Optional, Sequence
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), 'native',
-    'libgltvae_loader.so')
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libgltvae_loader.so')
 
 _lib = None
+_build_attempted = False
+
+
+def _ensure_built() -> bool:
+    """Lazy build: make the .so from loader.cpp when missing or stale.
+    One attempt per process; failure (no g++/libjpeg-dev) degrades to
+    unavailable, never raises."""
+    global _build_attempted
+    src = os.path.join(_NATIVE_DIR, 'loader.cpp')
+    fresh = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src))
+    if fresh:
+        return True
+    if _build_attempted:
+        return os.path.exists(_LIB_PATH)
+    _build_attempted = True
+    try:
+        r = subprocess.run(['make', '-C', _NATIVE_DIR],
+                           capture_output=True, timeout=120)
+        if r.returncode != 0:
+            return os.path.exists(_LIB_PATH)   # stale-but-present still loads
+    except Exception:
+        return os.path.exists(_LIB_PATH)
+    return os.path.exists(_LIB_PATH)
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if not _ensure_built():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.gltvae_decode_batch.argtypes = [

@@ -60,3 +60,42 @@ def test_multithreaded_matches_single(jpeg_dir):
     a = native_loader.decode_batch(jpeg_dir * 4, 64, num_threads=1)
     b = native_loader.decode_batch(jpeg_dir * 4, 64, num_threads=4)
     np.testing.assert_array_equal(a, b)
+
+
+def test_built_from_source_not_vendored():
+    """The .so must be a build product (lazy `make -C native` in
+    native_loader._ensure_built), never a committed binary — and at
+    least as new as its source."""
+    import subprocess
+    src = os.path.join(native_loader._NATIVE_DIR, 'loader.cpp')
+    tracked = subprocess.run(
+        ['git', 'ls-files', 'native/libgltvae_loader.so'],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(native_loader._NATIVE_DIR)).stdout.strip()
+    assert tracked == '', 'libgltvae_loader.so must not be committed'
+    assert os.path.exists(native_loader._LIB_PATH)   # lazily built
+    assert (os.path.getmtime(native_loader._LIB_PATH)
+            >= os.path.getmtime(src))
+
+
+@pytest.mark.skipif((os.cpu_count() or 1) < 4,
+                    reason=f'thread-scaling needs >=4 cores, host has '
+                           f'{os.cpu_count()}')
+def test_pool_scales_with_threads(jpeg_dir):
+    """The pool's headline property: batch decode throughput rises with
+    worker threads (>=1.6x from 1 -> 4 threads on a 4-core host; decode
+    parallelism is inside fetch(), native/loader.cpp worker loop)."""
+    import time
+    paths = jpeg_dir * 64              # 256 decodes per trial
+    native_loader.decode_batch(paths[:8], 64)   # warm (build + page-in)
+
+    def rate(threads):
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native_loader.decode_batch(paths, 64, num_threads=threads)
+            best = max(best, len(paths) / (time.perf_counter() - t0))
+        return best
+
+    r1, r4 = rate(1), rate(4)
+    assert r4 >= 1.6 * r1, f'1 thread {r1:.0f}/s vs 4 threads {r4:.0f}/s'
