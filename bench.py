@@ -229,6 +229,58 @@ def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
     return batch_size * scan * iters / dt, roof
 
 
+def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
+                        dispatches: int = 5, batches_per_dispatch: int = 384,
+                        prng: str = 'rbg'):
+    """Device-RESIDENT eval throughput: the split lives on device (shipped
+    once, outside the timed loop) and each dispatch scans
+    batches_per_dispatch batches by on-device index gather — the same
+    make_resident_eval_step Trainer.evaluate/test take for splits that
+    fit (VERDICT r3 item 4). Against bench_eval's stacked-scan path this
+    removes the per-dispatch host arg serialization residual: per-batch
+    work is one [B] int32 gather instead of carrying a [scan, B, 64, 64,
+    3] resident arg tree, and a dispatch covers 6x more batches at ~1/6
+    the resident HBM footprint (201 MB split vs per-slot stacking).
+    Fenced by a host fetch data-dependent on every dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.models.ccvae import CCVAE
+    from gltvae.train.state import create_train_state, make_key
+    from gltvae.train.steps import make_resident_eval_step
+
+    cfg = ModelConfig(compute_dtype='bfloat16')
+    tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
+    model = CCVAE(cfg)
+    rng = np.random.RandomState(0)
+    mu = rng.rand(18, 18).astype(np.float32)
+    state = create_train_state(model, tc, make_key(0, prng), mu_init=mu)
+    ev = make_resident_eval_step(model, tc)
+    images = jnp.asarray(rng.randint(0, 256, (n_images, 64, 64, 3)),
+                         jnp.uint8)
+    labels = jnp.asarray((rng.rand(n_images, 18) > 0.5).astype(np.float32))
+    nb = batches_per_dispatch
+    idxs = jnp.asarray(rng.randint(0, n_images, (nb, batch_size)), jnp.int32)
+    key = make_key(1, prng)
+    accs, key = ev(state.params, images, labels, idxs, key, 0.3)
+    # warmup mirrors the timed loop (compiles the accumulate-add too)
+    total = accs.sum() * 0.0
+    accs, key = ev(state.params, images, labels, idxs, key, 0.3)
+    total = total + accs.sum()
+    float(jax.device_get(total))      # compile + completion fence
+    t0 = time.perf_counter()
+    total = total * 0.0
+    for _ in range(dispatches):       # key chains the calls; total fences
+        accs, key = ev(state.params, images, labels, idxs, key, 0.3)
+        total = total + accs.sum()
+    float(jax.device_get(total))
+    dt = time.perf_counter() - t0
+    _, roof = _compiled_analyses(
+        ev, (state.params, images, labels, idxs, key, 0.3),
+        dt / (dispatches * nb))
+    return batch_size * nb * dispatches / dt, roof
+
+
 def bench_e2e(batch_size: int = 256, n_train: int = 2048,
               prng: str = 'rbg', compute_dtype: str = 'bfloat16'):
     """(cold_img_per_sec, cached_img_per_sec): END-TO-END training rate
@@ -456,6 +508,9 @@ def main():
     traversal_ms = (None if args.skip_traversal else bench_traversal())
     eval_ips, eval_roof = ((None, None) if args.skip_traversal
                            else bench_eval(args.batch_size, prng=args.prng))
+    eval_res_ips, eval_res_roof = (
+        (None, None) if args.skip_traversal
+        else bench_eval_resident(args.batch_size, prng=args.prng))
     e2e_cold = e2e_cached = None
     if not args.skip_e2e and args.image_size == 64:
         try:
@@ -485,8 +540,13 @@ def main():
         'peak_hbm_mb': peak_hbm if peak_hbm is not None else hbm_est,
         'peak_hbm_source': ('memory_stats' if peak_hbm is not None
                             else 'compiled_memory_analysis_estimate'),
-        'eval_images_per_sec': (None if eval_ips is None
-                                else round(eval_ips, 1)),
+        # headline eval = the device-RESIDENT path Trainer.evaluate/test
+        # take for splits that fit on device; chunked = the stacked-scan
+        # path kept for splits that don't
+        'eval_images_per_sec': (None if eval_res_ips is None
+                                else round(eval_res_ips, 1)),
+        'eval_images_per_sec_chunked': (None if eval_ips is None
+                                        else round(eval_ips, 1)),
         # e2e = JPEG decode -> host->device ship -> train step through
         # the real loader stack (whole timed epochs). cold decodes every
         # image; cached is epoch 2+ with the in-RAM uint8 cache.
@@ -495,7 +555,8 @@ def main():
         'e2e_images_per_sec_cached': (None if e2e_cached is None
                                       else round(e2e_cached, 1)),
         'roofline': roofline,
-        'eval_roofline': eval_roof,
+        'eval_roofline': eval_res_roof,
+        'eval_roofline_chunked': eval_roof,
     }
     print(json.dumps(result))
 

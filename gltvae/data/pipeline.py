@@ -141,6 +141,15 @@ class BatchLoader:
     def _next_batch_idxs(self) -> np.ndarray:
         return self._advance(self._cur)
 
+    def epoch_indices(self) -> np.ndarray:
+        """Advance the authoritative cursor one epoch and return the
+        stacked [epoch_batches, bs] GLOBAL index stream — exactly the
+        batches iteration would have fetched. Device-resident eval
+        (train/steps.py::make_resident_eval_step) gathers these rows on
+        device instead of fetching/shipping them from host."""
+        return np.stack([self._next_batch_idxs()
+                         for _ in range(self.epoch_batches)])
+
     def _local(self, idxs: np.ndarray) -> np.ndarray:
         """This process's slice of a global batch's indices (identity when
         unsharded). Slicing AFTER the global stream is generated keeps the

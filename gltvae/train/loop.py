@@ -54,7 +54,9 @@ class Trainer:
                  tensorboard_dir: Optional[str] = None,
                  nan_check_every: int = 50,
                  steps_per_dispatch: int = 1,
-                 local_batches: bool = False):
+                 local_batches: bool = False,
+                 resident_eval: str = 'auto',
+                 resident_eval_max_bytes: int = 768 * 2**20):
         self.model = CCVAE(model_cfg)
         self.cfg = train_cfg
         self.mesh = mesh
@@ -124,6 +126,17 @@ class Trainer:
                                      tensorboard_dir=tensorboard_dir)
         self.throughput = Throughput()
         self._eval_key = make_key(train_cfg.seed + 1, train_cfg.prng_impl)
+        # Device-resident eval (single-device only): when a split fits the
+        # byte budget, ship it ONCE and scan each epoch's batches on
+        # device by index gather — one dispatch per eval, no per-epoch
+        # re-ship. 'auto' = on when it fits; 'off' = always chunked.
+        if resident_eval not in ('auto', 'off'):
+            raise ValueError("resident_eval must be 'auto' or 'off'")
+        self._resident_mode = ('off' if mesh is not None else resident_eval)
+        self._resident_budget = resident_eval_max_bytes
+        self._resident_data: dict = {}   # id(loader) -> (loader, x, y)
+        self._resident_eval_fn = None
+        self._resident_elbo_fn = None
 
     def load_params(self, params) -> None:
         """Swap in an externally-loaded params pytree (e.g. a reference .h5
@@ -499,13 +512,53 @@ class Trainer:
                                  model_id, names)
 
     # ------------------------------- eval -------------------------------
+    def _resident_split(self, loader):
+        """(images_dev, labels_dev) for a split small enough to live on
+        device, else None. Decoded/shipped ONCE per loader and cached; a
+        later eval on the same loader costs one [n, B] int32 index ship.
+        Gated off for host-sharded loaders (their fetch() only serves this
+        process's rows) and when the loader lacks the index-stream API."""
+        if self._resident_mode == 'off' or getattr(loader, 'shard', None) \
+                is not None or not hasattr(loader, 'epoch_indices'):
+            return None
+        ent = self._resident_data.get(id(loader))
+        if ent is not None:
+            return ent[1], ent[2]
+        ds = loader.dataset
+        try:
+            x0, y0 = ds.fetch(np.asarray([0]))
+        except Exception:
+            return None
+        if (x0.nbytes + y0.nbytes) * len(ds) > self._resident_budget:
+            return None
+        x, y = ds.fetch(np.arange(len(ds)))
+        x, y = jax.device_put(x), jax.device_put(np.asarray(y, np.float32))
+        self._resident_data[id(loader)] = (loader, x, y)
+        return x, y
+
     def evaluate(self, loader, gating_temp: Optional[float] = None) -> float:
         """Mean accuracy over ceil(n/bs) batches (gated_ccvae.py:448-455).
 
-        With steps_per_dispatch>1 batches are chunked through the scan-eval
-        step (one dispatch per chunk); the key sequence and the resulting
-        per-batch accuracies are identical to the per-batch path."""
+        Splits that fit on device take the RESIDENT path: the split ships
+        once, each eval is ONE dispatch scanning the epoch's batches by
+        index gather (train/steps.py::make_resident_eval_step) — the key
+        chain and per-batch accuracies are bit-identical to the chunked
+        path below. Otherwise, with steps_per_dispatch>1 batches are
+        chunked through the scan-eval step (one dispatch per chunk); the
+        key sequence and the resulting per-batch accuracies are identical
+        to the per-batch path."""
         temp = self.gating_temp if gating_temp is None else gating_temp
+        res = self._resident_split(loader)
+        if res is not None:
+            if self._resident_eval_fn is None:
+                from gltvae.train.steps import make_resident_eval_step
+                self._resident_eval_fn = make_resident_eval_step(
+                    self.model, self.cfg)
+            idxs = jnp.asarray(loader.epoch_indices(), jnp.int32)
+            accs, self._eval_key = self._resident_eval_fn(
+                self.state.params, res[0], res[1], idxs, self._eval_key,
+                temp)
+            return float(np.mean(jax.device_get(accs)))
         n_batches = loader.epoch_batches
         it = iter(loader)
         accs = []
@@ -563,6 +616,16 @@ class Trainer:
                     make_scan_elbo_step(self.model, self.cfg)
                     if self.steps_per_dispatch > 1 else None)
         temp = self.gating_temp if gating_temp is None else gating_temp
+        res = self._resident_split(loader)
+        if res is not None:
+            if self._resident_elbo_fn is None:
+                from gltvae.train.steps import make_resident_elbo_step
+                self._resident_elbo_fn = make_resident_elbo_step(
+                    self.model, self.cfg)
+            idxs = jnp.asarray(loader.epoch_indices(), jnp.int32)
+            elbos, self._eval_key = self._resident_elbo_fn(
+                self.state.params, res[0], idxs, self._eval_key, temp)
+            return float(np.mean(jax.device_get(elbos)))
         n_batches = loader.epoch_batches
         it = iter(loader)
         vals = []

@@ -151,6 +151,55 @@ def make_scan_eval_step(model: CCVAE, train_cfg: TrainConfig,
     return jax.jit(scan_fn) if jit else scan_fn
 
 
+def make_resident_eval_step(model: CCVAE, train_cfg: TrainConfig,
+                            jit: bool = True):
+    """Device-RESIDENT eval: the whole split lives on device; one dispatch
+    scans an epoch's batches, gathering rows by index instead of shipping
+    them.
+
+    (params, images [N, H, W, C] u8, labels [N, y], idxs [n, B] i32,
+     key, gating_temp) -> (accs [n], key_out)
+
+    The key chain inside the scan is the SAME sequential
+    `key, sub = jax.random.split(key)` the chunked Trainer.evaluate path
+    runs on host per batch, and `key_out` is the advanced carry — so
+    per-batch accuracies (and every later draw) are bit-identical to the
+    chunked path. This removes the per-epoch host->device re-ship of the
+    split AND the per-chunk dispatch overhead: eval becomes one dispatch
+    per epoch with only a [n, B] int32 index ship (reference protocol
+    being accelerated: gated_ccvae.py:448-455)."""
+    ev = make_eval_step(model, train_cfg, jit=False)
+
+    def resident_fn(params, images, labels, idxs, key, gating_temp):
+        def body(key, idx):
+            key, sub = jax.random.split(key)
+            acc = ev(params, jnp.take(images, idx, axis=0),
+                     jnp.take(labels, idx, axis=0), sub, gating_temp)
+            return key, acc
+        key_out, accs = jax.lax.scan(body, key, idxs)
+        return accs, key_out
+
+    return jax.jit(resident_fn) if jit else resident_fn
+
+
+def make_resident_elbo_step(model: CCVAE, train_cfg: TrainConfig,
+                            jit: bool = True):
+    """Device-resident twin of make_elbo_eval_step (same contract as
+    make_resident_eval_step; labels unused by the unsupervised bound):
+    (params, images, idxs, key, gating_temp) -> (elbos [n], key_out)."""
+    el = make_elbo_eval_step(model, train_cfg, jit=False)
+
+    def resident_fn(params, images, idxs, key, gating_temp):
+        def body(key, idx):
+            key, sub = jax.random.split(key)
+            return key, el(params, jnp.take(images, idx, axis=0), sub,
+                           gating_temp)
+        key_out, elbos = jax.lax.scan(body, key, idxs)
+        return elbos, key_out
+
+    return jax.jit(resident_fn) if jit else resident_fn
+
+
 def make_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
                           donate: bool = True,
                           jit: bool = True) -> Tuple[Callable, Callable]:
