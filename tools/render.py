@@ -46,6 +46,14 @@ def main():
                    help='reference param dir with .h5 weights')
     p.add_argument('--dims', type=int, nargs='*', default=None)
     p.add_argument('--n-steps', type=int, default=8)
+    p.add_argument('--anchor', default='zeros', choices=['zeros', 'prior'],
+                   help="traversal anchor: 'zeros' (z=0; fine for fresh "
+                        "inits) or 'prior' (z_classify at the trained "
+                        "conditional prior mean p(z|y) for --labels, "
+                        "z_style=0 — in-distribution for TRAINED weights, "
+                        "whose ReLU'd posterior means never visit z=0)")
+    p.add_argument('--lo', type=float, default=-3.0)
+    p.add_argument('--hi', type=float, default=3.0)
     p.add_argument('--labels', default='',
                    help='comma-separated attribute names to switch ON '
                         '(conditional mode)')
@@ -79,9 +87,26 @@ def main():
     key = jax.random.key(args.seed)
     if args.mode == 'traversal':
         from gltvae.eval.traversal import latent_traversal
-        dims = args.dims if args.dims else list(range(27, 45))  # z_classify
-        grid = latent_traversal(model, params, n_steps=args.n_steps,
-                                dims=dims)
+        cfg = model.cfg
+        dims = (args.dims if args.dims
+                else list(range(cfg.z_style, cfg.z_dim)))  # z_classify
+        z_base = None
+        if args.anchor == 'prior':
+            from gltvae.ops.sampling import sample_gating_deterministic
+            on = [s for s in args.labels.split(',') if s]
+            y = np.zeros((1, cfg.y_dim), np.float32)
+            for name in on:
+                y[:, CELEBA_EASY_LABELS.index(name)] = 1.0
+            c = sample_gating_deterministic(params['mu'])
+            locs, _ = model.prior_zc(params, jnp.asarray(y), c)
+            # z_style from ITS prior N(0,I) (--seed selects the identity;
+            # seed 0 keeps the deterministic mean-style anchor)
+            zs = (jnp.zeros((cfg.z_style,), jnp.float32) if args.seed == 0
+                  else jax.random.normal(key, (cfg.z_style,), jnp.float32))
+            z_base = jnp.concatenate([zs, locs[0]])
+        grid = latent_traversal(model, params, z_base=z_base,
+                                n_steps=args.n_steps, dims=dims,
+                                lo=args.lo, hi=args.hi)
         save_grid(np.asarray(grid), args.out)
     elif args.mode == 'reconstruct':
         from gltvae.data.synthetic import synthetic_celeba
