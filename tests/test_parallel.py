@@ -102,19 +102,27 @@ def test_parallel_eval(mesh):
     assert 0.0 <= float(acc) <= 1.0
 
 
-def test_global_batch_4096_shapes_compile(mesh):
-    """BASELINE config 5 sanity: abstract-eval the 4096 global batch over
-    8 devices (no real compute — lower+compile only on tiny model)."""
+def test_global_batch_4096_step_executes(mesh):
+    """BASELINE config 5: EXECUTE (not just AOT-compile) one global-batch
+    4096 sup step over the 8 devices — 512/device — and assert the update
+    is finite and stays sharded (VERDICT r3 item 3; tiny 16x16 model keeps
+    the CPU-mesh run to seconds)."""
     model = CCVAE(MODEL)
     cfg = TrainConfig(batch_size=4096, classifier_mc_samples=4)
     state = create_train_state(model, cfg, jax.random.key(0),
                                mu_init=mu_init())
     sup, _ = make_parallel_train_steps(model, cfg, mesh, donate=False)
-    x = jnp.zeros((4096, 16, 16, 3), jnp.uint8)
-    y = jnp.zeros((4096, 4), jnp.float32)
-    lowered = sup.lower(shard_state(state, mesh),
-                        *shard_batch((x, y), mesh), 1.0)
-    assert lowered is not None
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 256, (4096, 16, 16, 3)), jnp.uint8)
+    y = jnp.asarray((rng.rand(4096, 4) > 0.5).astype(np.float32))
+    state2, metrics = sup(shard_state(state, mesh),
+                          *shard_batch((x, y), mesh), 1.0)
+    assert np.isfinite(float(metrics['loss']))
+    assert len(state2.params['mu'].sharding.device_set) == 8
+    # params actually moved (the step did compute, not a no-op)
+    delta = np.abs(np.asarray(state2.params['mu'])
+                   - np.asarray(state.params['mu'])).max()
+    assert delta > 0
 
 
 def test_parallel_step_with_rbg_prng(mesh):
