@@ -232,22 +232,28 @@ def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
 def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
                         dispatches: int = 5, batches_per_dispatch: int = 384,
                         prng: str = 'rbg'):
-    """Device-RESIDENT eval throughput: the split lives on device (shipped
-    once, outside the timed loop) and each dispatch scans
-    batches_per_dispatch batches by on-device index gather — the same
-    make_resident_eval_step Trainer.evaluate/test take for splits that
-    fit (VERDICT r3 item 4). Against bench_eval's stacked-scan path this
-    removes the per-dispatch host arg serialization residual: per-batch
-    work is one [B] int32 gather instead of carrying a [scan, B, 64, 64,
-    3] resident arg tree, and a dispatch covers 6x more batches at ~1/6
-    the resident HBM footprint (201 MB split vs per-slot stacking).
-    Fenced by a host fetch data-dependent on every dispatch."""
+    """Device-RESIDENT eval throughput: the split lives on device as
+    packed int32 rows (shipped once, outside the timed loop) and each
+    dispatch scans batches_per_dispatch batches by on-device row gather —
+    the same make_resident_eval_step Trainer.evaluate/test take for
+    splits that fit (VERDICT r3 item 4).
+
+    Measured v5e hierarchy (BENCH_NOTES round 4): this path ~1.81M
+    img/s; bench_eval's stacked-scan 2.15-2.25M; a no-gather no-host-arg
+    resident-stack bound 2.19M. The gather costs ~18% of pure device
+    rate and the r3 hypothesis that host arg serialization was the
+    roofline residual is disproved (the bound barely moves) — but in
+    REAL use the scan formulation pays a per-epoch host fetch + ~805 MB
+    host->device re-ship per 64-batch chunk epoch that this bench's
+    pre-resident args exclude, which the resident path eliminates
+    entirely. Fenced by a host fetch data-dependent on every dispatch."""
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig
     from gltvae.models.ccvae import CCVAE
     from gltvae.train.state import create_train_state, make_key
-    from gltvae.train.steps import make_resident_eval_step
+    from gltvae.train.steps import (make_resident_eval_step,
+                                    pack_resident_images)
 
     cfg = ModelConfig(compute_dtype='bfloat16')
     tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
@@ -255,9 +261,9 @@ def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
     rng = np.random.RandomState(0)
     mu = rng.rand(18, 18).astype(np.float32)
     state = create_train_state(model, tc, make_key(0, prng), mu_init=mu)
-    ev = make_resident_eval_step(model, tc)
-    images = jnp.asarray(rng.randint(0, 256, (n_images, 64, 64, 3)),
-                         jnp.uint8)
+    ev = make_resident_eval_step(model, tc, image_shape=(64, 64, 3))
+    images = jnp.asarray(pack_resident_images(
+        rng.randint(0, 256, (n_images, 64, 64, 3)).astype(np.uint8)))
     labels = jnp.asarray((rng.rand(n_images, 18) > 0.5).astype(np.float32))
     nb = batches_per_dispatch
     idxs = jnp.asarray(rng.randint(0, n_images, (nb, batch_size)), jnp.int32)
@@ -540,13 +546,17 @@ def main():
         'peak_hbm_mb': peak_hbm if peak_hbm is not None else hbm_est,
         'peak_hbm_source': ('memory_stats' if peak_hbm is not None
                             else 'compiled_memory_analysis_estimate'),
-        # headline eval = the device-RESIDENT path Trainer.evaluate/test
-        # take for splits that fit on device; chunked = the stacked-scan
-        # path kept for splits that don't
-        'eval_images_per_sec': (None if eval_res_ips is None
-                                else round(eval_res_ips, 1)),
-        'eval_images_per_sec_chunked': (None if eval_ips is None
-                                        else round(eval_ips, 1)),
+        # eval_images_per_sec = the stacked-scan formulation (the r01-r03
+        # metric, kept comparable across rounds; args pre-resident).
+        # _resident = the path Trainer.evaluate/test actually take for
+        # fitting splits: ~18% lower pure-device rate (the per-batch row
+        # gather), but it eliminates the per-epoch host fetch + 805 MB/
+        # chunk host->device re-ship the scan formulation pays in real
+        # use — strictly faster end-to-end (BENCH_NOTES round 4).
+        'eval_images_per_sec': (None if eval_ips is None
+                                else round(eval_ips, 1)),
+        'eval_images_per_sec_resident': (None if eval_res_ips is None
+                                         else round(eval_res_ips, 1)),
         # e2e = JPEG decode -> host->device ship -> train step through
         # the real loader stack (whole timed epochs). cold decodes every
         # image; cached is epoch 2+ with the in-RAM uint8 cache.
@@ -555,8 +565,8 @@ def main():
         'e2e_images_per_sec_cached': (None if e2e_cached is None
                                       else round(e2e_cached, 1)),
         'roofline': roofline,
-        'eval_roofline': eval_res_roof,
-        'eval_roofline_chunked': eval_roof,
+        'eval_roofline': eval_roof,
+        'eval_roofline_resident': eval_res_roof,
     }
     print(json.dumps(result))
 

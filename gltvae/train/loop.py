@@ -135,8 +135,8 @@ class Trainer:
         self._resident_mode = ('off' if mesh is not None else resident_eval)
         self._resident_budget = resident_eval_max_bytes
         self._resident_data: dict = {}   # id(loader) -> (loader, x, y)
-        self._resident_eval_fn = None
-        self._resident_elbo_fn = None
+        self._resident_eval_fns: dict = {}    # image_shape -> step fn
+        self._resident_elbo_fns: dict = {}
 
     def load_params(self, params) -> None:
         """Swap in an externally-loaded params pytree (e.g. a reference .h5
@@ -523,7 +523,7 @@ class Trainer:
             return None
         ent = self._resident_data.get(id(loader))
         if ent is not None:
-            return ent[1], ent[2]
+            return ent[1], ent[2], ent[3]
         ds = loader.dataset
         try:
             x0, y0 = ds.fetch(np.asarray([0]))
@@ -532,9 +532,12 @@ class Trainer:
         if (x0.nbytes + y0.nbytes) * len(ds) > self._resident_budget:
             return None
         x, y = ds.fetch(np.arange(len(ds)))
-        x, y = jax.device_put(x), jax.device_put(np.asarray(y, np.float32))
-        self._resident_data[id(loader)] = (loader, x, y)
-        return x, y
+        from gltvae.train.steps import pack_resident_images
+        shape = x.shape[1:]                  # static for the step builders
+        x = jax.device_put(pack_resident_images(np.ascontiguousarray(x)))
+        y = jax.device_put(np.asarray(y, np.float32))
+        self._resident_data[id(loader)] = (loader, x, y, shape)
+        return x, y, shape
 
     def evaluate(self, loader, gating_temp: Optional[float] = None) -> float:
         """Mean accuracy over ceil(n/bs) batches (gated_ccvae.py:448-455).
@@ -550,14 +553,16 @@ class Trainer:
         temp = self.gating_temp if gating_temp is None else gating_temp
         res = self._resident_split(loader)
         if res is not None:
-            if self._resident_eval_fn is None:
+            x, y, shape = res
+            fn = self._resident_eval_fns.get(shape)
+            if fn is None:
                 from gltvae.train.steps import make_resident_eval_step
-                self._resident_eval_fn = make_resident_eval_step(
-                    self.model, self.cfg)
+                fn = make_resident_eval_step(self.model, self.cfg,
+                                             image_shape=shape)
+                self._resident_eval_fns[shape] = fn
             idxs = jnp.asarray(loader.epoch_indices(), jnp.int32)
-            accs, self._eval_key = self._resident_eval_fn(
-                self.state.params, res[0], res[1], idxs, self._eval_key,
-                temp)
+            accs, self._eval_key = fn(self.state.params, x, y, idxs,
+                                      self._eval_key, temp)
             return float(np.mean(jax.device_get(accs)))
         n_batches = loader.epoch_batches
         it = iter(loader)
@@ -618,13 +623,16 @@ class Trainer:
         temp = self.gating_temp if gating_temp is None else gating_temp
         res = self._resident_split(loader)
         if res is not None:
-            if self._resident_elbo_fn is None:
+            x, _, shape = res
+            fn = self._resident_elbo_fns.get(shape)
+            if fn is None:
                 from gltvae.train.steps import make_resident_elbo_step
-                self._resident_elbo_fn = make_resident_elbo_step(
-                    self.model, self.cfg)
+                fn = make_resident_elbo_step(self.model, self.cfg,
+                                             image_shape=shape)
+                self._resident_elbo_fns[shape] = fn
             idxs = jnp.asarray(loader.epoch_indices(), jnp.int32)
-            elbos, self._eval_key = self._resident_elbo_fn(
-                self.state.params, res[0], idxs, self._eval_key, temp)
+            elbos, self._eval_key = fn(self.state.params, x, idxs,
+                                       self._eval_key, temp)
             return float(np.mean(jax.device_get(elbos)))
         n_batches = loader.epoch_batches
         it = iter(loader)
