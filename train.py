@@ -119,6 +119,13 @@ def parse_args(argv=None):
                         'interleave (sup 0.2/0.5) scans mixed chunks '
                         'with a static per-step sup mask — semantics '
                         'identical to per-step dispatch either way')
+    p.add_argument('--resident-eval', default='auto',
+                   choices=['auto', 'off'],
+                   help="device-resident eval: 'auto' ships a fitting "
+                        "val/test split to the device once and scans each "
+                        "eval epoch in ONE dispatch by on-device row "
+                        "gather (bit-identical results to the chunked "
+                        "path); 'off' always streams batches from host")
     p.add_argument('--num-workers', type=int, default=8)
     p.add_argument('--decode-backend', default='auto',
                    choices=['auto', 'cv2', 'pil', 'native', 'grain'],
@@ -281,7 +288,8 @@ def run(args, sup: float):
                                                     run_name)
                                        if args.tensorboard else None),
                       steps_per_dispatch=args.steps_per_dispatch,
-                      local_batches=local_batches)
+                      local_batches=local_batches,
+                      resident_eval=args.resident_eval)
 
     if args.init_from_h5:
         from gltvae.utils.h5_import import load_reference_checkpoint
