@@ -29,7 +29,9 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
                      compute_dtype: str, supervised: bool = True,
                      scan: int = 0, image_size: int = 64,
                      semi_sup_period: int = 0, prng: str = 'rbg',
-                     remat: str = 'none'):
+                     remat: str = 'none', input_s2d: bool = False):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from gltvae.config import ModelConfig, TrainConfig, celeba128
@@ -40,10 +42,10 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
 
     if image_size == 128:
         cfg, _ = celeba128()
-        import dataclasses
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     else:
         cfg = ModelConfig(compute_dtype=compute_dtype)
+    cfg = dataclasses.replace(cfg, input_s2d=input_s2d)
     train_cfg = TrainConfig(batch_size=batch_size, prng_impl=prng,
                             remat=remat)
     model = CCVAE(cfg)
@@ -172,7 +174,7 @@ def _compiled_analyses(jitted, args, secs_per_step):
 
 
 def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
-               prng: str = 'rbg'):
+               prng: str = 'rbg', input_s2d: bool = False):
     """Stochastic eval throughput via the scanned eval path — the same
     make_scan_eval_step Trainer.evaluate dispatches (reference baseline:
     ~400-450 img/s, BASELINE.md eval rows). Round 1 measured the
@@ -190,7 +192,7 @@ def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
     from gltvae.train.state import create_train_state, make_key
     from gltvae.train.steps import make_scan_eval_step
 
-    cfg = ModelConfig(compute_dtype='bfloat16')
+    cfg = ModelConfig(compute_dtype='bfloat16', input_s2d=input_s2d)
     tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
@@ -231,7 +233,7 @@ def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
 
 def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
                         dispatches: int = 5, batches_per_dispatch: int = 384,
-                        prng: str = 'rbg'):
+                        prng: str = 'rbg', input_s2d: bool = False):
     """Device-RESIDENT eval throughput: the split lives on device as
     packed int32 rows (shipped once, outside the timed loop) and each
     dispatch scans batches_per_dispatch batches by on-device row gather —
@@ -255,7 +257,7 @@ def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
     from gltvae.train.steps import (make_resident_eval_step,
                                     pack_resident_images)
 
-    cfg = ModelConfig(compute_dtype='bfloat16')
+    cfg = ModelConfig(compute_dtype='bfloat16', input_s2d=input_s2d)
     tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
@@ -461,6 +463,16 @@ def main():
                         'chains compete for issue slots on this '
                         'bandwidth-bound step. threefry benches the '
                         'bit-reproducible parity default.')
+    p.add_argument('--input-s2d', default='on', choices=['on', 'off'],
+                   help='space-to-depth input conv (ModelConfig.input_s2d):'
+                        ' an EXACT regrouping of the encoder\'s first conv'
+                        ' (pad1 + 4x4/s2 -> s2d(2) + 2x2/s1) that cuts the'
+                        ' padded HBM traffic of the 3-channel input '
+                        '(tests/test_s2d.py pins the equivalence). '
+                        'Measured +6%% train / +11%% chunked eval on v5e '
+                        '(BENCH_NOTES round 4); default on like --prng rbg '
+                        '(the production config — train.py keeps it off '
+                        'for reference-identical float summation order)')
     p.add_argument('--skip-traversal', action='store_true')
     p.add_argument('--skip-e2e', action='store_true',
                    help='skip the end-to-end (JPEG decode included) rows')
@@ -505,18 +517,21 @@ def main():
                          'and requires --scan > 1 (with scan<=1 the plain '
                          'sup per-step path would run but be labeled '
                          'semi-sup)')
+    s2d = args.input_s2d == 'on'
     imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
         scan=args.scan, image_size=args.image_size,
         semi_sup_period=args.semi_sup_period, prng=args.prng,
-        remat=args.remat)
+        remat=args.remat, input_s2d=s2d)
     peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
-    eval_ips, eval_roof = ((None, None) if args.skip_traversal
-                           else bench_eval(args.batch_size, prng=args.prng))
+    eval_ips, eval_roof = (
+        (None, None) if args.skip_traversal
+        else bench_eval(args.batch_size, prng=args.prng, input_s2d=s2d))
     eval_res_ips, eval_res_roof = (
         (None, None) if args.skip_traversal
-        else bench_eval_resident(args.batch_size, prng=args.prng))
+        else bench_eval_resident(args.batch_size, prng=args.prng,
+                                 input_s2d=s2d))
     e2e_cold = e2e_cached = None
     if not args.skip_e2e and args.image_size == 64:
         try:
@@ -540,6 +555,7 @@ def main():
         'backend': backend,
         'prng': args.prng,
         'remat': args.remat,
+        'input_s2d': args.input_s2d,
         'final_loss': round(loss, 2),
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),

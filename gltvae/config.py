@@ -76,6 +76,11 @@ class ModelConfig:
     # posterior), removing that plateau basin; opt-in, parity default
     # unchanged.
     posterior_locs: str = 'relu'
+    # Space-to-depth input conv: an exact regrouping of the encoder's
+    # first conv (pad1 + 4x4/s2 -> s2d(2) + 2x2/s1) that cuts the padded
+    # HBM traffic of the 3-channel input (networks.py::S2DConv). Pure
+    # execution strategy — same params, same math, same checkpoints.
+    input_s2d: bool = False
     # Compute dtype for conv/matmul-heavy paths. Params always f32.
     compute_dtype: str = 'float32'
 
@@ -88,6 +93,8 @@ class ModelConfig:
             raise ValueError('y_dim (== z_classify) must be <= z_dim')
         if self.posterior_locs not in ('relu', 'linear'):
             raise ValueError("posterior_locs must be 'relu' or 'linear'")
+        if self.input_s2d and self.image_size % 2:
+            raise ValueError('input_s2d requires an even image_size')
 
     @property
     def z_classify(self) -> int:
@@ -217,6 +224,12 @@ class DataConfig:
     # is ~1.9 GB, 128px ~7.6 GB. cv2/pil/native backends only (grain
     # manages its own pipeline).
     cache_decoded: bool = False
+    # Disk-PERSISTENT decoded cache (tf.data cache(filename=...)
+    # counterpart): decoded uint8 rows stream into np.memmap files under
+    # this directory, keyed by split image list + decode size; later RUNS
+    # (any process, any backend) serve at page-cache speed with zero JPEG
+    # work (celeba.py::DiskCachedDataset). cv2/pil/native backends only.
+    cache_dir: Optional[str] = None
 
 
 MODEL_CONFIG_FILENAME = 'model_config.json'

@@ -67,6 +67,7 @@ class CCVAE:
         c = self.cfg
         return Encoder(z_dim=c.z_dim, features=c.enc_features,
                        hidden=c.enc_hidden, locs_act=c.posterior_locs,
+                       input_s2d=c.input_s2d,
                        dtype=c.dtype, precision=c.matmul_precision)
 
     @property

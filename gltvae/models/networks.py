@@ -76,6 +76,53 @@ class TFConvTranspose(nn.Module):
         return (y + bias.astype(self.dtype)).astype(self.dtype)
 
 
+class S2DConv(nn.Module):
+    """First encoder conv in space-to-depth form — an exact regrouping.
+
+    The reference's pad-1 + VALID 4x4 stride-2 conv (networks.py:21-24)
+    reads a 3-channel image, and 3 channels pad to TPU lane tiles — real
+    HBM traffic that XLA's cost model undercounts (docs/BENCH_NOTES.md,
+    round 4). The same sum regrouped as
+
+        pad 1px -> space-to-depth(2) -> 2x2 stride-1 VALID conv
+
+    consumes a 4C-channel, quarter-area input instead: identical FLOPs
+    (the im2col K dim is 4*4*C either way), far less padded traffic.
+    The kernel parameter stays in the canonical (4, 4, C, F) layout —
+    same init stream, same checkpoint/golden/h5 shapes as the direct
+    form — and is rearranged at trace time (folded to a constant by XLA).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param('kernel', glorot, (4, 4, c_in, self.features),
+                            jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(f's2d input conv needs even H/W, got {x.shape}')
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        b, h, w, c = xp.shape
+        xs = xp.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # W[2a+p, 2b+q, c, o] -> W'[a, b, (p,q,c), o]: output[i,j] of the
+        # strided conv reads padded rows 2i..2i+3 = s2d cells i, i+1.
+        k = kernel.reshape(2, 2, 2, 2, c_in, self.features)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c_in,
+                                                  self.features)
+        y = lax.conv_general_dilated(
+            xs.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1, 1), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision=self.precision)
+        return y + bias.astype(self.dtype)
+
+
 class Encoder(nn.Module):
     """q(z|x): strided conv stack -> two dense heads.
 
@@ -96,6 +143,7 @@ class Encoder(nn.Module):
     features: Sequence[int] = (32, 32, 64, 128)
     hidden: int = 256
     locs_act: str = 'relu'
+    input_s2d: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -103,10 +151,18 @@ class Encoder(nn.Module):
     def __call__(self, x):
         h = x.astype(self.dtype)
         for i, f in enumerate(self.features):
-            # pad 1px + VALID 4x4 s2  ==  conv with ((1,1),(1,1)) padding.
-            h = nn.Conv(f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        kernel_init=glorot, dtype=self.dtype,
-                        precision=self.precision, name=f'conv{i + 1}')(h)
+            if i == 0 and self.input_s2d:
+                # Exact space-to-depth regrouping of the same conv; the
+                # param tree ('conv1', canonical kernel layout) is
+                # unchanged, so the flag is a pure execution strategy.
+                h = S2DConv(f, dtype=self.dtype, precision=self.precision,
+                            name='conv1')(h)
+            else:
+                # pad 1px + VALID 4x4 s2 == conv with ((1,1),(1,1)) padding.
+                h = nn.Conv(f, (4, 4), strides=(2, 2),
+                            padding=((1, 1), (1, 1)),
+                            kernel_init=glorot, dtype=self.dtype,
+                            precision=self.precision, name=f'conv{i + 1}')(h)
             h = nn.relu(h)
         h = nn.Conv(self.hidden, (4, 4), strides=(1, 1), padding='VALID',
                     kernel_init=glorot, dtype=self.dtype,

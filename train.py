@@ -95,6 +95,14 @@ def parse_args(argv=None):
                         'sup=1.0 one-one seed-fragility basin that the '
                         'nonnegativity constraint causes (measured, '
                         'docs/HEAD2HEAD.md)')
+    p.add_argument('--input-s2d', default='off', choices=['on', 'off'],
+                   help='space-to-depth input conv: an EXACT regrouping '
+                        "of the encoder's first conv (pad1 + 4x4/s2 -> "
+                        's2d(2) + 2x2/s1) that cuts the padded HBM '
+                        'traffic of the 3-channel input on TPU. Same '
+                        'params, same math, same checkpoints '
+                        '(tests/test_s2d.py); off = reference-identical '
+                        'float summation order')
     p.add_argument('--deterministic-eval', action='store_true',
                    help='mean-z / expected-gate eval instead of the '
                         'reference stochastic eval')
@@ -136,6 +144,13 @@ def parse_args(argv=None):
                    help='keep every decoded uint8 image in host RAM after '
                         'its first decode (CelebA-64 ~1.9 GB): epoch 1 '
                         'pays JPEG decode, later epochs are memcpy-fast')
+    p.add_argument('--cache-dir', default=None, metavar='DIR',
+                   help='disk-PERSISTENT decoded cache: decoded uint8 '
+                        'rows stream into np.memmap files under DIR '
+                        '(keyed by split image list + decode size); '
+                        'later RUNS serve from the page cache with zero '
+                        'JPEG work — the cross-process counterpart of '
+                        '--cache-decoded')
     p.add_argument('--n-train', type=int, default=None,
                    help='train-split size (default: official 162770, '
                         'utils_data.py:87-91); set for dataset subsets')
@@ -171,13 +186,15 @@ def build_configs(args, sup):
                                  gate_subtype=args.gate_subtype)
         model_cfg = dataclasses.replace(
             model_cfg, compute_dtype=args.compute_dtype,
-            posterior_locs=args.posterior_locs)
+            posterior_locs=args.posterior_locs,
+            input_s2d=args.input_s2d == 'on')
     else:
         model_cfg = ModelConfig(z_dim=args.z_dim,
                                 gate_type=args.gate_type,
                                 gate_subtype=args.gate_subtype,
                                 compute_dtype=args.compute_dtype,
-                                posterior_locs=args.posterior_locs)
+                                posterior_locs=args.posterior_locs,
+                                input_s2d=args.input_s2d == 'on')
     train_cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, perc_supervision=sup,
                             gating_reg=args.l1_reg, seed=args.seed,
@@ -196,6 +213,7 @@ def build_configs(args, sup):
                           decode_backend=args.decode_backend,
                           augment_pad=args.augment_pad,
                           cache_decoded=args.cache_decoded,
+                          cache_dir=args.cache_dir,
                           split_file=args.split_file,
                           **split_overrides)
     return model_cfg, train_cfg, data_cfg
