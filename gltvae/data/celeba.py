@@ -222,6 +222,89 @@ class CachedDataset:
         return self._imgs[idxs], self.split.labels[idxs].astype(np.float32)
 
 
+class DiskCachedDataset:
+    """Disk-PERSISTENT decoded-image cache (np.memmap-backed).
+
+    CachedDataset removes re-decode within one process; this removes it
+    across processes and runs — the tf.data `cache(filename=...)`
+    counterpart. Decoded uint8 rows stream into a memmap of shape
+    (N, S, S, 3) under `cache_dir`, keyed by the split's image list +
+    decode size (so a changed corpus or resolution can never serve stale
+    rows), and a `.complete` sidecar is written atomically once every row
+    has been decoded. A later run — any process, any decode backend —
+    opens the completed file read-only and serves batches at page-cache
+    speed with zero JPEG work. Incomplete caches (interrupted first
+    epoch) are simply re-filled: rows are only trusted once the marker
+    exists, so torn writes cannot serve garbage.
+
+    Thread-safety under BatchLoader workers mirrors CachedDataset: row
+    bytes are written before their `_have` flags, and a racing
+    double-decode of one index writes identical bytes.
+    """
+
+    def __init__(self, ds, cache_dir: str, name: str):
+        import hashlib
+        import json
+        self.ds = ds
+        self.split = ds.split
+        n = len(ds)
+        size = ds.image_size
+        key = hashlib.sha256(
+            ('\n'.join(ds.split.ids)
+             + f'|{size}|{getattr(ds, "center_crop", False)}')
+            .encode()).hexdigest()[:16]
+        os.makedirs(cache_dir, exist_ok=True)
+        base = os.path.join(cache_dir, f'{name}_{size}px_{key}')
+        self._data_path = base + '.u8'
+        self._marker_path = base + '.complete'
+        self._shape = (n, size, size, 3)
+        meta = {'n': n, 'size': size, 'key': key}
+        if os.path.exists(self._marker_path):
+            self._mm = np.memmap(self._data_path, dtype=np.uint8, mode='r',
+                                 shape=self._shape)
+            self._have = None               # complete: inner ds never used
+        else:
+            self._mm = np.memmap(self._data_path, dtype=np.uint8, mode='w+',
+                                 shape=self._shape)
+            self._have = np.zeros(n, dtype=bool)
+            with open(base + '.json', 'w') as f:
+                json.dump(meta, f)
+        self._mark_lock = threading.Lock()
+
+    def __len__(self):
+        return self._shape[0]
+
+    @property
+    def complete(self) -> bool:
+        return self._have is None
+
+    def _finalize(self):
+        with self._mark_lock:
+            if self._have is None or not self._have.all():
+                return
+            self._mm.flush()
+            tmp = self._marker_path + '.tmp'
+            with open(tmp, 'w') as f:
+                f.write('ok')
+            os.replace(tmp, self._marker_path)   # atomic: no torn marker
+            self._mm = np.memmap(self._data_path, dtype=np.uint8, mode='r',
+                                 shape=self._shape)
+            self._have = None
+
+    def fetch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        idxs = np.asarray(idxs)
+        if self._have is not None:
+            miss = idxs[~self._have[idxs]]
+            if miss.size:
+                imgs, _ = self.ds.fetch(miss)
+                self._mm[miss] = imgs
+                self._have[miss] = True
+                if self._have.all():
+                    self._finalize()
+        return np.asarray(self._mm[idxs]), \
+            self.split.labels[idxs].astype(np.float32)
+
+
 class CelebAReader:
     """Split construction + gating init + loaders; the TPU-era counterpart
     of the reference CelebAReader (utils_data.py:83-196)."""
@@ -325,6 +408,21 @@ class CelebAReader:
             raise ValueError('cache_decoded applies to the cv2/pil/native '
                              'fetch() datasets; grain manages its own '
                              'pipeline (drop one of the two flags)')
+        if self.cfg.cache_dir is not None:
+            if backend == 'grain':
+                raise ValueError('cache_dir applies to the cv2/pil/native '
+                                 'fetch() datasets; grain manages its own '
+                                 'pipeline (drop one of the two flags)')
+            if self.cfg.cache_decoded:
+                raise ValueError('cache_dir already serves rows from the '
+                                 'OS page cache once filled; stacking the '
+                                 'in-RAM cache_decoded on top doubles host '
+                                 'memory for nothing (drop one)')
+            if self.cfg.device_resize:
+                raise ValueError('cache_dir stores host-resized fixed-'
+                                 'shape uint8 rows; with device_resize '
+                                 'rows are full-resolution (~19 GB for '
+                                 'CelebA) — drop one of the two flags')
         if backend == 'native' and self.cfg.device_resize:
             raise ValueError('decode_backend=native always resizes on the '
                              'host (the C++ pool decodes straight into the '
@@ -389,7 +487,9 @@ class CelebAReader:
                                     center_crop=self.cfg.center_crop,
                                     backend=backend,
                                     host_resize=not self.cfg.device_resize)
-        if self.cfg.cache_decoded:
+        if self.cfg.cache_dir is not None:
+            ds = DiskCachedDataset(ds, self.cfg.cache_dir, mode)
+        elif self.cfg.cache_decoded:
             ds = CachedDataset(ds)
         return BatchLoader(
             ds, self.batch_size, shuffle=True,
