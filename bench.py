@@ -29,7 +29,8 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
                      compute_dtype: str, supervised: bool = True,
                      scan: int = 0, image_size: int = 64,
                      semi_sup_period: int = 0, prng: str = 'rbg',
-                     remat: str = 'none', input_s2d: bool = False):
+                     remat: str = 'none', input_s2d: bool = False,
+                     output_s2d: bool = False):
     import dataclasses
 
     import jax
@@ -45,7 +46,8 @@ def bench_train_step(batch_size: int, steps: int, warmup: int,
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     else:
         cfg = ModelConfig(compute_dtype=compute_dtype)
-    cfg = dataclasses.replace(cfg, input_s2d=input_s2d)
+    cfg = dataclasses.replace(cfg, input_s2d=input_s2d,
+                              output_s2d=output_s2d)
     train_cfg = TrainConfig(batch_size=batch_size, prng_impl=prng,
                             remat=remat)
     model = CCVAE(cfg)
@@ -174,7 +176,8 @@ def _compiled_analyses(jitted, args, secs_per_step):
 
 
 def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
-               prng: str = 'rbg', input_s2d: bool = False):
+               prng: str = 'rbg', input_s2d: bool = False,
+               output_s2d: bool = False):
     """Stochastic eval throughput via the scanned eval path — the same
     make_scan_eval_step Trainer.evaluate dispatches (reference baseline:
     ~400-450 img/s, BASELINE.md eval rows). Round 1 measured the
@@ -192,7 +195,8 @@ def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
     from gltvae.train.state import create_train_state, make_key
     from gltvae.train.steps import make_scan_eval_step
 
-    cfg = ModelConfig(compute_dtype='bfloat16', input_s2d=input_s2d)
+    cfg = ModelConfig(compute_dtype='bfloat16', input_s2d=input_s2d,
+                      output_s2d=output_s2d)
     tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
@@ -233,7 +237,8 @@ def bench_eval(batch_size: int, iters: int = 20, scan: int = 64,
 
 def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
                         dispatches: int = 5, batches_per_dispatch: int = 384,
-                        prng: str = 'rbg', input_s2d: bool = False):
+                        prng: str = 'rbg', input_s2d: bool = False,
+                        output_s2d: bool = False):
     """Device-RESIDENT eval throughput: the split lives on device as
     packed int32 rows (shipped once, outside the timed loop) and each
     dispatch scans batches_per_dispatch batches by on-device row gather —
@@ -257,7 +262,8 @@ def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
     from gltvae.train.steps import (make_resident_eval_step,
                                     pack_resident_images)
 
-    cfg = ModelConfig(compute_dtype='bfloat16', input_s2d=input_s2d)
+    cfg = ModelConfig(compute_dtype='bfloat16', input_s2d=input_s2d,
+                      output_s2d=output_s2d)
     tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
     model = CCVAE(cfg)
     rng = np.random.RandomState(0)
@@ -473,6 +479,15 @@ def main():
                         '(BENCH_NOTES round 4); default on like --prng rbg '
                         '(the production config — train.py keeps it off '
                         'for reference-identical float summation order)')
+    p.add_argument('--output-s2d', default='on', choices=['on', 'off'],
+                   help='space-to-depth output conv (ModelConfig.output_s2d)'
+                        ": the decoder's final conv-transpose emits the "
+                        'image in s2d form and the recon loss compares in '
+                        's2d space — same pixels, half the padded traffic '
+                        'of the 3-channel output write+read '
+                        '(tests/test_s2d.py pins the equivalence). '
+                        'Measured +3%% train on v5e (BENCH_NOTES round 4); '
+                        'default on like --input-s2d (production config)')
     p.add_argument('--skip-traversal', action='store_true')
     p.add_argument('--skip-e2e', action='store_true',
                    help='skip the end-to-end (JPEG decode included) rows')
@@ -518,20 +533,22 @@ def main():
                          'sup per-step path would run but be labeled '
                          'semi-sup)')
     s2d = args.input_s2d == 'on'
+    os2d = args.output_s2d == 'on'
     imgs_per_sec, loss, hbm_est, roofline = bench_train_step(
         args.batch_size, args.steps, args.warmup, args.dtype,
         scan=args.scan, image_size=args.image_size,
         semi_sup_period=args.semi_sup_period, prng=args.prng,
-        remat=args.remat, input_s2d=s2d)
+        remat=args.remat, input_s2d=s2d, output_s2d=os2d)
     peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
     eval_ips, eval_roof = (
         (None, None) if args.skip_traversal
-        else bench_eval(args.batch_size, prng=args.prng, input_s2d=s2d))
+        else bench_eval(args.batch_size, prng=args.prng, input_s2d=s2d,
+                        output_s2d=os2d))
     eval_res_ips, eval_res_roof = (
         (None, None) if args.skip_traversal
         else bench_eval_resident(args.batch_size, prng=args.prng,
-                                 input_s2d=s2d))
+                                 input_s2d=s2d, output_s2d=os2d))
     e2e_cold = e2e_cached = None
     if not args.skip_e2e and args.image_size == 64:
         try:
@@ -556,6 +573,7 @@ def main():
         'prng': args.prng,
         'remat': args.remat,
         'input_s2d': args.input_s2d,
+        'output_s2d': args.output_s2d,
         'final_loss': round(loss, 2),
         'traversal_ms_per_grid': (None if traversal_ms is None
                                   else round(traversal_ms, 2)),

@@ -81,6 +81,12 @@ class ModelConfig:
     # HBM traffic of the 3-channel input (networks.py::S2DConv). Pure
     # execution strategy — same params, same math, same checkpoints.
     input_s2d: bool = False
+    # Output-side twin: the decoder's final conv-transpose emits the
+    # image in space-to-depth form and recon losses compare in s2d space
+    # (networks.py::S2DTransposeLast) — same pixels, half the padded
+    # traffic of the (S, S, 3) write+read. decode()/reconstruct()/
+    # traversal still return (S, S, 3) images (depth_to_space applied).
+    output_s2d: bool = False
     # Compute dtype for conv/matmul-heavy paths. Params always f32.
     compute_dtype: str = 'float32'
 
@@ -93,8 +99,9 @@ class ModelConfig:
             raise ValueError('y_dim (== z_classify) must be <= z_dim')
         if self.posterior_locs not in ('relu', 'linear'):
             raise ValueError("posterior_locs must be 'relu' or 'linear'")
-        if self.input_s2d and self.image_size % 2:
-            raise ValueError('input_s2d requires an even image_size')
+        if (self.input_s2d or self.output_s2d) and self.image_size % 2:
+            raise ValueError('input_s2d/output_s2d require an even '
+                             'image_size')
 
     @property
     def z_classify(self) -> int:

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gltvae.config import ModelConfig
-from gltvae.models.networks import (Encoder, Decoder, GatedClassifier,
+from gltvae.models.networks import (depth_to_space, space_to_depth,
+                                    Encoder, Decoder, GatedClassifier,
                                     ConditionalPrior)
 from gltvae.ops.distributions import (gaussian_kl, img_log_likelihood,
                                       bernoulli_log_prob,
@@ -74,8 +75,8 @@ class CCVAE:
     def decoder(self) -> Decoder:
         c = self.cfg
         return Decoder(hidden=c.dec_hidden or c.z_dim, features=c.dec_features,
-                       out_channels=c.channels, dtype=c.dtype,
-                       precision=c.matmul_precision)
+                       out_channels=c.channels, output_s2d=c.output_s2d,
+                       dtype=c.dtype, precision=c.matmul_precision)
 
     @property
     def classifier(self) -> GatedClassifier:
@@ -131,7 +132,20 @@ class CCVAE:
         return self.encoder.apply({'params': params['encoder']}, x)
 
     def decode(self, params, z):
-        return self.decoder.apply({'params': params['decoder']}, z)
+        """p(x|z) as an (S, S, C) image regardless of output_s2d (the
+        s2d form is re-indexed back; losses use _recon_log_lik to stay
+        in s2d space and skip the padded image materialization)."""
+        out = self.decoder.apply({'params': params['decoder']}, z)
+        return depth_to_space(out) if self.cfg.output_s2d else out
+
+    def _recon_log_lik(self, params, z, x):
+        """log p(x|z): with output_s2d both recon and target compare in
+        space-to-depth form — the per-pixel Laplace sum is re-index
+        invariant, and neither (S, S, 3) padded tensor is materialized."""
+        out = self.decoder.apply({'params': params['decoder']}, z)
+        if self.cfg.output_s2d:
+            return img_log_likelihood(out, space_to_depth(x))
+        return img_log_likelihood(out, x)
 
     def classify(self, params, z_classify, gates):
         return self.classifier.apply({'params': params['classifier']},
@@ -196,8 +210,7 @@ class CCVAE:
             prior_scales = jnp.concatenate(
                 [jnp.ones((B, cfg.z_style), jnp.float32), prior_scales], -1)
             kl = gaussian_kl(locs, scales, prior_locs, prior_scales)
-            recon = self.decode(params, z)
-            log_pxz = img_log_likelihood(recon, x)
+            log_pxz = self._recon_log_lik(params, z, x)
             return log_qy_zc, log_py, kl, log_pxz
 
         return locs, scales, z, z_classify, c, logits_y_zc, finish

@@ -123,6 +123,78 @@ class S2DConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+def space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (p, q, c) with
+    (p, q) the within-cell pixel. Matches S2DTransposeLast's output order
+    so recon losses can compare in s2d space (a pure re-indexing: any
+    per-pixel sum is unchanged)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(y):
+    """Inverse of space_to_depth: (B, h, w, 4C) -> (B, 2h, 2w, C)."""
+    b, h, w, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(b, h, w, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+class S2DTransposeLast(nn.Module):
+    """Decoder's final 4x4/stride-2 SAME conv-transpose in
+    space-to-depth form — an exact regrouping (the output-side twin of
+    S2DConv).
+
+    The direct form writes an (S, S, 3) image whose 3 channels pad to
+    TPU lane tiles; this form produces the SAME pixels as an
+    (S/2, S/2, 12) tensor via one 3x3/stride-1 conv over the input:
+        out[2u+r] = sum_i X[i] W[2(u-i)+r+1]     (stride-2 transpose)
+    regrouped per sub-pixel (r, s) gives taps k_y = r+3-2dy in a 3-tap
+    window (structural zeros where k leaves [0,4)). Kernel stays in
+    TFConvTranspose's canonical (kh, kw, out, in) layout — identical
+    params, checkpoints, goldens — and the 3x3 gather kernel is built at
+    trace time (constant-folded).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kshape = (4, 4, self.features, in_ch)
+        kernel_init = nn.initializers.variance_scaling(
+            1.0, 'fan_avg', 'uniform', in_axis=-1, out_axis=-2)
+        kernel = self.param('kernel', kernel_init, kshape, jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        zero = jnp.zeros((self.features, in_ch), kernel.dtype)
+        rows = []
+        for dy in range(3):
+            cols = []
+            for dx in range(3):
+                subs = []
+                for r in range(2):
+                    for s in range(2):
+                        ky, kx = r + 3 - 2 * dy, s + 3 - 2 * dx
+                        subs.append(kernel[ky, kx] if 0 <= ky < 4
+                                    and 0 <= kx < 4 else zero)
+                cols.append(jnp.stack(subs))      # (4, out, in)
+            rows.append(jnp.stack(cols))          # (3, 4, out, in)
+        k3 = jnp.stack(rows)                      # (3, 3, 4, out, in)
+        # -> (dy, dx, in, (r,s,out)) for NHWC/HWIO
+        k3 = k3.transpose(0, 1, 4, 2, 3).reshape(3, 3, in_ch,
+                                                 4 * self.features)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), k3.astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision=self.precision)
+        return y + jnp.tile(bias, 4).astype(self.dtype)
+
+
 class Encoder(nn.Module):
     """q(z|x): strided conv stack -> two dense heads.
 
@@ -194,6 +266,12 @@ class Decoder(nn.Module):
     hidden: int
     features: Sequence[int] = (128, 64, 32, 32)
     out_channels: int = 3
+    # output_s2d: the final conv-transpose emits the image in
+    # space-to-depth form (B, S/2, S/2, 4C), channel order (p, q, c) —
+    # same pixels, half the padded HBM traffic (S2DTransposeLast).
+    # Callers wanting an (S, S, C) image apply depth_to_space; losses
+    # compare in s2d space directly.
+    output_s2d: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -211,10 +289,14 @@ class Decoder(nn.Module):
                                         dtype=self.dtype,
                                         precision=self.precision,
                                         name=f'conv{i + 2}t')(h))
-        x = TFConvTranspose(self.out_channels, strides=(2, 2),
-                            padding='SAME', dtype=self.dtype,
-                            precision=self.precision,
-                            name=f'conv{len(self.features) + 1}t')(h)
+        last = f'conv{len(self.features) + 1}t'
+        if self.output_s2d:
+            x = S2DTransposeLast(self.out_channels, dtype=self.dtype,
+                                 precision=self.precision, name=last)(h)
+        else:
+            x = TFConvTranspose(self.out_channels, strides=(2, 2),
+                                padding='SAME', dtype=self.dtype,
+                                precision=self.precision, name=last)(h)
         return jax.nn.sigmoid(x.astype(jnp.float32))
 
 

@@ -103,6 +103,13 @@ def parse_args(argv=None):
                         'params, same math, same checkpoints '
                         '(tests/test_s2d.py); off = reference-identical '
                         'float summation order')
+    p.add_argument('--output-s2d', default='off', choices=['on', 'off'],
+                   help="space-to-depth output conv: the decoder's final "
+                        'conv-transpose emits the image in s2d form and '
+                        'recon losses compare in s2d space — same pixels, '
+                        'half the padded HBM traffic of the 3-channel '
+                        'output write+read. Same params, same math, same '
+                        'checkpoints (tests/test_s2d.py)')
     p.add_argument('--deterministic-eval', action='store_true',
                    help='mean-z / expected-gate eval instead of the '
                         'reference stochastic eval')
@@ -187,14 +194,16 @@ def build_configs(args, sup):
         model_cfg = dataclasses.replace(
             model_cfg, compute_dtype=args.compute_dtype,
             posterior_locs=args.posterior_locs,
-            input_s2d=args.input_s2d == 'on')
+            input_s2d=args.input_s2d == 'on',
+            output_s2d=args.output_s2d == 'on')
     else:
         model_cfg = ModelConfig(z_dim=args.z_dim,
                                 gate_type=args.gate_type,
                                 gate_subtype=args.gate_subtype,
                                 compute_dtype=args.compute_dtype,
                                 posterior_locs=args.posterior_locs,
-                                input_s2d=args.input_s2d == 'on')
+                                input_s2d=args.input_s2d == 'on',
+                                output_s2d=args.output_s2d == 'on')
     train_cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, perc_supervision=sup,
                             gating_reg=args.l1_reg, seed=args.seed,
