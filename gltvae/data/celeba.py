@@ -264,12 +264,35 @@ class DiskCachedDataset:
                                  shape=self._shape)
             self._have = None               # complete: inner ds never used
         else:
-            self._mm = np.memmap(self._data_path, dtype=np.uint8, mode='w+',
-                                 shape=self._shape)
+            self._reap_stale_fills()
+            # NEVER memmap the shared path with truncating 'w+': that
+            # zeroes rows a concurrently filling sibling process (multi-
+            # host run on shared scratch, or two jobs) already wrote and
+            # flagged, making it silently serve zeros. Fill a process-
+            # unique temp instead; _finalize publishes it atomically.
+            self._fill_path = f'{self._data_path}.{os.getpid()}.fill'
+            self._mm = np.memmap(self._fill_path, dtype=np.uint8,
+                                 mode='w+', shape=self._shape)
             self._have = np.zeros(n, dtype=bool)
             with open(base + '.json', 'w') as f:
                 json.dump(meta, f)
         self._mark_lock = threading.Lock()
+
+    def _reap_stale_fills(self):
+        """Best-effort removal of .fill temps left by dead processes
+        (killed mid-first-epoch). Live fillers are left alone."""
+        import glob
+        for p in glob.glob(self._data_path + '.*.fill'):
+            try:
+                pid = int(p.rsplit('.', 2)[-2])
+                os.kill(pid, 0)             # raises if pid is gone
+            except (ValueError, ProcessLookupError):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            except PermissionError:
+                pass                         # pid alive under another uid
 
     def __len__(self):
         return self._shape[0]
@@ -283,6 +306,11 @@ class DiskCachedDataset:
             if self._have is None or not self._have.all():
                 return
             self._mm.flush()
+            # publish: atomic rename, then atomic marker. A sibling
+            # process finishing later replaces the file with identical
+            # bytes (same corpus + geometry, pinned by the key), so
+            # readers of the old inode and the new one agree.
+            os.replace(self._fill_path, self._data_path)
             tmp = self._marker_path + '.tmp'
             with open(tmp, 'w') as f:
                 f.write('ok')
@@ -293,15 +321,20 @@ class DiskCachedDataset:
 
     def fetch(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         idxs = np.asarray(idxs)
-        if self._have is not None:
-            miss = idxs[~self._have[idxs]]
+        # snapshot: another worker thread's _finalize may swap _mm to the
+        # published read-only map and drop _have mid-fetch; locals keep
+        # this fetch coherent (a straggler's writes go through the old
+        # map to the inode os.replace just made live, identical bytes).
+        have, mm = self._have, self._mm
+        if have is not None:
+            miss = idxs[~have[idxs]]
             if miss.size:
                 imgs, _ = self.ds.fetch(miss)
-                self._mm[miss] = imgs
-                self._have[miss] = True
-                if self._have.all():
+                mm[miss] = imgs
+                have[miss] = True
+                if have.all():
                     self._finalize()
-        return np.asarray(self._mm[idxs]), \
+        return np.asarray(mm[idxs]), \
             self.split.labels[idxs].astype(np.float32)
 
 
@@ -489,6 +522,15 @@ class CelebAReader:
                                     host_resize=not self.cfg.device_resize)
         if self.cfg.cache_dir is not None:
             ds = DiskCachedDataset(ds, self.cfg.cache_dir, mode)
+            if self.shard is not None and not ds.complete:
+                raise ValueError(
+                    f'cache_dir with host-sharded loading (shard=) needs a '
+                    f'COMPLETE cache, but split {mode!r} is unfilled: each '
+                    f'process only decodes its 1/N slice, so a sharded '
+                    f'first-fill can never reach completion and decode '
+                    f'would be silently re-paid every run. Pre-fill once '
+                    f'with an unsharded pass over the same corpus/size, '
+                    f'then sharded runs serve it read-only.')
         elif self.cfg.cache_decoded:
             ds = CachedDataset(ds)
         return BatchLoader(
