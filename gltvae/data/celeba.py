@@ -493,22 +493,39 @@ class CelebAReader:
                                  'input stage)')
             size = size + 2 * self.cfg.augment_pad
         if backend == 'grain':
-            if self.shard is not None:
-                raise ValueError(
-                    'shard= is for the cv2/pil/native BatchLoader path; '
-                    'grain shards per-host via its own shard_options '
-                    '(gltvae/data/grain_loader.py)')
             from gltvae.data import grain_loader
             if not grain_loader.is_available():
                 raise RuntimeError('decode_backend=grain: grain is not '
                                    'installed')
+            # Host-sharded multi-host input, grain convention: each
+            # process's dataset is the corpus SLICE ids[pid::pc] (grain
+            # ShardOptions) and it batches its own bs/pc rows of every
+            # global batch. Unlike the BatchLoader path (which slices a
+            # seed-coordinated GLOBAL index stream, keeping batches
+            # identical across mesh shapes), grain's slicing changes
+            # which rows share a batch vs a single-host run — valid DP,
+            # but not mesh-shape-invariant. Pair with
+            # Trainer(local_batches=True) like the BatchLoader path.
+            shard_options = None
+            bs = self.batch_size
+            if self.shard is not None:
+                from grain.sharding import ShardOptions
+                pid, pc = self.shard
+                if bs % pc:
+                    raise ValueError(
+                        f'host-sharded grain loading needs batch_size '
+                        f'divisible by process_count (got {bs} % {pc})')
+                shard_options = ShardOptions(shard_index=pid,
+                                             shard_count=pc)
+                bs //= pc
             return grain_loader.make_grain_loader(
                 image_dir, split.ids, split.labels,
-                batch_size=self.batch_size,
+                batch_size=bs,
                 image_size=size, seed=self.seed,
                 reshuffle_each_epoch=self.reshuffle,
                 num_workers=self.num_workers,
-                center_crop=self.cfg.center_crop)
+                center_crop=self.cfg.center_crop,
+                shard_options=shard_options)
         if backend == 'native':
             from gltvae.data.native_loader import NativeImageFolderDataset
             ds = NativeImageFolderDataset(

@@ -136,6 +136,82 @@ class TestGrainLoader:
         assert loader.n_s == 6
         assert loader.epoch_batches == 3
 
+    def test_reader_wires_grain_shard(self, tmp_path):
+        """CelebAReader(shard=(pid, pc)) + decode_backend=grain: each
+        process gets per-host batches of bs/pc rows over ITS corpus
+        slice (grain ShardOptions convention) — the two shards' label
+        coverage is disjoint and unions to the split."""
+        from gltvae.config import CELEBA_LABELS, DataConfig
+        from gltvae.data import grain_loader
+        from gltvae.data.celeba import CelebAReader
+        if not grain_loader.is_available():
+            pytest.skip('grain unavailable')
+        import PIL.Image
+        rng = np.random.RandomState(3)
+        n = 24
+        img_dir = tmp_path / 'img_align_celeba'
+        img_dir.mkdir()
+        lines = ['image_id,' + ','.join(CELEBA_LABELS)]
+        for i in range(n):
+            name = f'{i:06d}.jpg'
+            lines.append(name + ','
+                         + ','.join(map(str, rng.choice([-1, 1], 40))))
+            PIL.Image.fromarray(
+                rng.randint(0, 255, (100, 80, 3), dtype=np.uint8)
+            ).save(img_dir / name)
+        (tmp_path / 'list_attr_celeba.csv').write_text(
+            '\n'.join(lines) + '\n')
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=16, n_valid=4,
+                         n_test=4, num_workers=0, decode_backend='grain')
+
+        def epoch_rows(pid):
+            reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0,
+                                  shard=(pid, 2))
+            loader = reader.setup_data_loaders()['sup']
+            assert loader.n_s == 8              # per-host slice of 16
+            assert loader.epoch_batches == 4    # of bs/pc = 2 rows
+            it = iter(loader)
+            rows = []
+            for _ in range(loader.epoch_batches):
+                x, y = next(it)
+                assert x.shape == (2, 64, 64, 3)
+                rows += [r.tobytes() for r in y]
+            return set(rows)
+
+        r0, r1 = epoch_rows(0), epoch_rows(1)
+        assert not (r0 & r1)                    # disjoint corpus slices
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=4, seed=0)
+        want = {r.astype(np.float32).tobytes()
+                for r in reader.splits['sup'].labels}
+        assert (r0 | r1) == want                # full split coverage
+
+    def test_reader_grain_shard_divisibility(self, tmp_path):
+        from gltvae.config import CELEBA_LABELS, DataConfig
+        from gltvae.data import grain_loader
+        from gltvae.data.celeba import CelebAReader
+        if not grain_loader.is_available():
+            pytest.skip('grain unavailable')
+        import PIL.Image
+        rng = np.random.RandomState(3)
+        img_dir = tmp_path / 'img_align_celeba'
+        img_dir.mkdir()
+        lines = ['image_id,' + ','.join(CELEBA_LABELS)]
+        for i in range(12):
+            name = f'{i:06d}.jpg'
+            lines.append(name + ','
+                         + ','.join(map(str, rng.choice([-1, 1], 40))))
+            PIL.Image.fromarray(
+                rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+            ).save(img_dir / name)
+        (tmp_path / 'list_attr_celeba.csv').write_text(
+            '\n'.join(lines) + '\n')
+        cfg = DataConfig(data_dir=str(tmp_path), n_train=8, n_valid=2,
+                         n_test=2, num_workers=0, decode_backend='grain')
+        reader = CelebAReader(cfg, sup_frac=1.0, batch_size=5, seed=0,
+                              shard=(0, 2))
+        with pytest.raises(ValueError, match='divisible'):
+            reader.setup_data_loaders()
+
 
 def test_metrics_summary_tool(tmp_path):
     """tools/metrics_summary.py folds a Trainer metrics.csv into per-epoch
