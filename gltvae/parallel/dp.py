@@ -186,6 +186,76 @@ def make_parallel_eval_step(model: CCVAE, train_cfg: TrainConfig,
                    out_shardings=repl)
 
 
+def resident_rows_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a device-RESIDENT split's rows: split over 'data' so
+    per-device HBM holds only N/D rows (the resident byte budget scales
+    with the mesh instead of replicating the corpus D times)."""
+    return NamedSharding(mesh, P('data'))
+
+
+def place_resident_split(x_packed, labels, mesh: Mesh):
+    """Ship a resident split onto the mesh ONCE: rows sharded over
+    'data' (padded to the device count with zero rows — loader indices
+    never reference the padding), labels replicated (small; the per-batch
+    label gather re-slices them anyway).
+
+    Works on multi-host meshes too via make_array_from_callback — every
+    process passes the full split (host-sharded loaders are excluded
+    upstream: their fetch() only serves this process's rows)."""
+    import numpy as np
+    d = mesh.devices.size
+    pad = (-x_packed.shape[0]) % d
+    if pad:
+        x_packed = np.concatenate(
+            [x_packed, np.zeros((pad,) + x_packed.shape[1:],
+                                x_packed.dtype)])
+    rows = resident_rows_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    if _multiprocess(mesh):
+        x_dev = jax.make_array_from_callback(
+            x_packed.shape, rows, lambda idx: x_packed[idx])
+        y_dev = jax.make_array_from_callback(
+            labels.shape, repl, lambda idx: labels[idx])
+        return x_dev, y_dev
+    return jax.device_put(x_packed, rows), jax.device_put(labels, repl)
+
+
+def make_parallel_resident_eval_step(model: CCVAE, train_cfg: TrainConfig,
+                                     mesh: Mesh,
+                                     image_shape=None) -> Callable:
+    """Device-resident eval on the mesh: the split's rows live SHARDED
+    over 'data'; each eval is one dispatch scanning the epoch's batches.
+    The partitioner hoists the loop-invariant operand all-gather out of
+    the scan (split bytes cross ICI once per dispatch — at ICI bandwidth
+    that is orders cheaper than the per-epoch host->device re-ship the
+    chunked mesh path pays), and the with_sharding_constraint inside the
+    gather immediately re-slices each batch to P('data'), so every op
+    downstream runs the same DP schedule as make_parallel_eval_step —
+    results bit-identical to the chunked path (tests/test_resident_eval
+    .py::test_mesh_resident_*)."""
+    fn = _steps.make_resident_eval_step(
+        model, train_cfg, image_shape=image_shape, jit=False,
+        constrain=batch_sharding(mesh))
+    repl = replicated_sharding(mesh)
+    rows = resident_rows_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, rows, repl, repl, repl, repl),
+                   out_shardings=(repl, repl))
+
+
+def make_parallel_resident_elbo_step(model: CCVAE, train_cfg: TrainConfig,
+                                     mesh: Mesh,
+                                     image_shape=None) -> Callable:
+    """Mesh twin of make_resident_elbo_step (see
+    make_parallel_resident_eval_step for the sharding story)."""
+    fn = _steps.make_resident_elbo_step(
+        model, train_cfg, image_shape=image_shape, jit=False,
+        constrain=batch_sharding(mesh))
+    repl = replicated_sharding(mesh)
+    rows = resident_rows_sharding(mesh)
+    return jax.jit(fn, in_shardings=(repl, rows, repl, repl, repl),
+                   out_shardings=(repl, repl))
+
+
 def make_parallel_scan_eval_step(model: CCVAE, train_cfg: TrainConfig,
                                  mesh: Mesh) -> Callable:
     """Scan-eval on the mesh: stacked batches sharded P(None, 'data'),

@@ -56,7 +56,9 @@ class Trainer:
                  steps_per_dispatch: int = 1,
                  local_batches: bool = False,
                  resident_eval: str = 'auto',
-                 resident_eval_max_bytes: int = 768 * 2**20):
+                 resident_eval_max_bytes: int = 768 * 2**20,
+                 resident_train: str = 'auto',
+                 resident_train_max_bytes: int = 3 * 2**30):
         self.model = CCVAE(model_cfg)
         self.cfg = train_cfg
         self.mesh = mesh
@@ -106,8 +108,16 @@ class Trainer:
                     self.model, train_cfg)
                 self._scan_eval = make_scan_eval_step(self.model, train_cfg)
             self._eval_step = make_eval_step(self.model, train_cfg)
-            self._place = lambda b: b
-            self._place_stacked = lambda b: b
+            # explicit ASYNC ship (double-buffering): device_put returns
+            # while the transfer runs in the background, so chunk k+1's
+            # host->device ship overlaps chunk k's still-running compute
+            # (dispatch is already async) — overlapped wall approaches
+            # max(ship, compute) instead of ship + compute. Passing raw
+            # numpy into the jit instead would ship at argument-
+            # conversion time on the dispatch's critical path. Fitting
+            # splits skip the ship entirely (resident training below).
+            self._place = jax.device_put
+            self._place_stacked = jax.device_put
 
         # Train-time fused augmentation (random crop + hflip + normalize,
         # ops/pallas/preprocess.fused_augment). Opt-in framework
@@ -126,17 +136,36 @@ class Trainer:
                                      tensorboard_dir=tensorboard_dir)
         self.throughput = Throughput()
         self._eval_key = make_key(train_cfg.seed + 1, train_cfg.prng_impl)
-        # Device-resident eval (single-device only): when a split fits the
-        # byte budget, ship it ONCE and scan each epoch's batches on
-        # device by index gather — one dispatch per eval, no per-epoch
-        # re-ship. 'auto' = on when it fits; 'off' = always chunked.
+        # Device-resident eval: when a split fits the byte budget, ship
+        # it ONCE and scan each epoch's batches on device by index
+        # gather — one dispatch per eval, no per-epoch re-ship. On a mesh
+        # the split's rows live sharded over 'data' (parallel/dp.py
+        # resident wrappers), so per-device HBM holds only N/D rows and
+        # multi-device eval stops paying the chunked re-ship too.
+        # 'auto' = on when it fits; 'off' = always chunked.
         if resident_eval not in ('auto', 'off'):
             raise ValueError("resident_eval must be 'auto' or 'off'")
-        self._resident_mode = ('off' if mesh is not None else resident_eval)
+        self._resident_mode = resident_eval
         self._resident_budget = resident_eval_max_bytes
         self._resident_data: dict = {}   # id(loader) -> (loader, x, y)
         self._resident_eval_fns: dict = {}    # image_shape -> step fn
         self._resident_elbo_fns: dict = {}
+        # Device-resident TRAINING (single-device, un-augmented runs):
+        # ship the train split(s) ONCE, then every dispatch gathers its
+        # batches on device by index — only a [n, B] int32 array crosses
+        # the host boundary per dispatch. The per-step image ship is the
+        # end-to-end wall once decode is cached (BENCH_r04: 3.6k img/s
+        # shipped vs 371k device rate); a CelebA-64 train split is ~2 GB
+        # uint8 and fits HBM next to this ~1M-param model.
+        # 'auto' = on when the splits fit the byte budget; 'off' = always
+        # host-shipped. Numerics are bit-identical either way
+        # (tests/test_resident_train.py).
+        if resident_train not in ('auto', 'off'):
+            raise ValueError("resident_train must be 'auto' or 'off'")
+        self._resident_train_mode = ('off' if mesh is not None
+                                     else resident_train)
+        self._resident_train_budget = resident_train_max_bytes
+        self._resident_train_fns: dict = {}   # (kind, shape) -> step fn
 
     def load_params(self, params) -> None:
         """Swap in an externally-loaded params pytree (e.g. a reference .h5
@@ -335,17 +364,27 @@ class Trainer:
             logger.info('resumed at step %d (epoch %d), gating temp %.4f',
                         int(self.state.step), start_epoch, self.gating_temp)
 
+        # Device-resident training: ship the train split(s) once, then
+        # every dispatch below sends only a [n, B] int32 index array.
+        # None (didn't fit / gated off) -> the host-shipped path.
+        res_train = self._resident_train_splits(loaders)
+
         for epoch in range(start_epoch, epochs):
             total, period, sup_batches = self.epoch_schedule(loaders)
             flags = self._schedule_flags(total, period, sup_batches)
-            sup_iter = iter(loaders['sup']) if 'sup' in loaders else None
+            # resident runs advance the loader cursors directly
+            # (_next_batch_idxs yields the identical index stream the
+            # host iterators would have consumed) — no decode threads
+            sup_iter = (iter(loaders['sup'])
+                        if 'sup' in loaders and res_train is None else None)
             unsup_iter = (iter(loaders['unsup'])
-                          if 'unsup' in loaders else None)
+                          if 'unsup' in loaders and res_train is None
+                          else None)
             pending_gates = []
             t_epoch = time.perf_counter()
             epoch_imgs0 = self.throughput.images_total
 
-            scan_on = self._scan_sup is not None
+            scan_on = self._scan_sup is not None or res_train is not None
             # semi-sup interleaves (period >= 2, i.e. sup <= 0.5 — the
             # paper's headline schedules) dispatch whole mixed chunks
             # through the lax.cond scan; uniform/period<=1 schedules keep
@@ -355,7 +394,9 @@ class Trainer:
             while i < total:
                 n = min(self.steps_per_dispatch, total - i) if scan_on else 1
                 chunk = flags[i:i + n]
-                if not mixed and n > 1:
+                semi_res = (res_train is not None and 'sup' in res_train
+                            and 'unsup' in res_train)
+                if not mixed and not semi_res and n > 1:
                     # single-kind scans need a uniform chunk; stop at the
                     # first kind flip (a period==1 semi-sup schedule flips
                     # once per epoch when the sup quota is spent)
@@ -363,7 +404,28 @@ class Trainer:
                     while run < n and chunk[run] == chunk[0]:
                         run += 1
                     n, chunk = run, chunk[:run]
-                if n > 1:
+                if res_train is not None:
+                    idx_rows = np.stack([
+                        (loaders['sup'] if f else
+                         loaders['unsup'])._next_batch_idxs()
+                        for f in chunk]).astype(np.int32)
+                    idxs = jnp.asarray(idx_rows)
+                    if semi_res:
+                        xs_s, ys_s, shape = res_train['sup']
+                        xs_u, ys_u, _ = res_train['unsup']
+                        fn = self._get_resident_train_fn('mixed', shape)
+                        self.state, ms = fn(
+                            self.state, xs_s, ys_s, xs_u, ys_u, idxs,
+                            np.asarray(chunk, dtype=bool), self.gating_temp)
+                    else:
+                        kind = 'sup' if chunk[0] else 'unsup'
+                        x_r, y_r, shape = res_train[kind]
+                        fn = self._get_resident_train_fn(kind, shape)
+                        self.state, ms = fn(self.state, x_r, y_r, idxs,
+                                            self.gating_temp)
+                    nan_flag = ms['c_nan'].any()
+                    self.throughput.step(n * idx_rows.shape[1])
+                elif n > 1:
                     bx, by = zip(*(next(sup_iter if f else unsup_iter)
                                    for f in chunk))
                     xs, ys = self._place_stacked((np.stack(bx),
@@ -398,11 +460,12 @@ class Trainer:
                 # Full-fidelity metrics: every inner step on the log_every
                 # cadence gets its OWN row (lazy device indexing, no sync),
                 # so metrics.csv is identical for any steps_per_dispatch.
+                stacked = n > 1 or res_train is not None
                 for j in range(n):
                     if (i + j) % log_every == 0:
                         self.metrics.log(
                             int(i + j + epoch * total),
-                            {k: (v[j] if n > 1 else v)
+                            {k: (v[j] if stacked else v)
                              for k, v in ms.items() if k != 'c_nan'},
                             epoch=epoch, supervised=int(chunk[j]))
                 i += n
@@ -512,32 +575,102 @@ class Trainer:
                                  model_id, names)
 
     # ------------------------------- eval -------------------------------
-    def _resident_split(self, loader):
-        """(images_dev, labels_dev) for a split small enough to live on
-        device, else None. Decoded/shipped ONCE per loader and cached; a
-        later eval on the same loader costs one [n, B] int32 index ship.
-        Gated off for host-sharded loaders (their fetch() only serves this
-        process's rows) and when the loader lacks the index-stream API."""
-        if self._resident_mode == 'off' or getattr(loader, 'shard', None) \
-                is not None or not hasattr(loader, 'epoch_indices'):
+    def _resident_split(self, loader, budget: Optional[int] = None):
+        """(images_dev, labels_dev, image_shape) for a split small enough
+        to live on device, else None. Decoded/shipped ONCE per loader and
+        cached; a later use of the same loader costs one [n, B] int32
+        index ship. Gated off for host-sharded loaders (their fetch()
+        only serves this process's rows) and when the loader lacks the
+        index-stream API."""
+        if getattr(loader, 'shard', None) is not None \
+                or not hasattr(loader, 'epoch_indices'):
             return None
         ent = self._resident_data.get(id(loader))
         if ent is not None:
             return ent[1], ent[2], ent[3]
+        budget = self._resident_budget if budget is None else budget
         ds = loader.dataset
         try:
             x0, y0 = ds.fetch(np.asarray([0]))
         except Exception:
             return None
-        if (x0.nbytes + y0.nbytes) * len(ds) > self._resident_budget:
+        if (x0.nbytes + y0.nbytes) * len(ds) > budget:
             return None
         x, y = ds.fetch(np.arange(len(ds)))
         from gltvae.train.steps import pack_resident_images
         shape = x.shape[1:]                  # static for the step builders
-        x = jax.device_put(pack_resident_images(np.ascontiguousarray(x)))
-        y = jax.device_put(np.asarray(y, np.float32))
+        packed = pack_resident_images(np.ascontiguousarray(x))
+        if self.mesh is not None:
+            # rows SHARDED over 'data' (per-device HBM holds N/D rows);
+            # the resident step fns re-slice each gathered batch to the
+            # chunked mesh path's DP sharding (parallel/dp.py)
+            from gltvae.parallel.dp import place_resident_split
+            x, y = place_resident_split(packed,
+                                        np.asarray(y, np.float32),
+                                        self.mesh)
+        else:
+            x = jax.device_put(packed)
+            y = jax.device_put(np.asarray(y, np.float32))
         self._resident_data[id(loader)] = (loader, x, y, shape)
         return x, y, shape
+
+    def _resident_eval_split(self, loader):
+        if self._resident_mode == 'off':
+            return None
+        return self._resident_split(loader)
+
+    def _resident_train_splits(self, loaders) -> Optional[dict]:
+        """{'sup'/'unsup': (images, labels, shape)} when ALL train splits
+        fit the combined resident-train budget, else None. Augmented runs
+        stay host-shipped (the crop/flip kernel consumes padded host
+        batches); mesh runs are gated in __init__ (extend with shard_map
+        row ownership before lifting)."""
+        if self._resident_train_mode == 'off' or self._augment is not None:
+            return None
+        modes = [m for m in ('sup', 'unsup') if m in loaders]
+        if not modes:
+            return None
+        total = 0
+        for m in modes:
+            loader = loaders[m]
+            if getattr(loader, 'shard', None) is not None \
+                    or not hasattr(loader, '_next_batch_idxs'):
+                return None
+            try:
+                x0, y0 = loader.dataset.fetch(np.asarray([0]))
+            except Exception:
+                return None
+            total += (x0.nbytes + y0.nbytes) * len(loader.dataset)
+        if total > self._resident_train_budget:
+            return None
+        out = {m: self._resident_split(loaders[m], budget=total)
+               for m in modes}
+        if any(v is None for v in out.values()):
+            return None
+        shapes = {v[2] for v in out.values()}
+        if len(shapes) != 1:                 # sup/unsup must agree
+            return None
+        logger.info('resident train: %d MB shipped once (%s)',
+                    total >> 20, '+'.join(modes))
+        return out
+
+    def _get_resident_train_fn(self, kind: str, shape):
+        fn = self._resident_train_fns.get((kind, shape))
+        if fn is None:
+            from gltvae.train.steps import (
+                make_resident_scan_train_steps,
+                make_resident_mixed_scan_train_step)
+            if kind == 'mixed':
+                fn = make_resident_mixed_scan_train_step(
+                    self.model, self.cfg, image_shape=shape)
+            else:
+                sup_fn, unsup_fn = make_resident_scan_train_steps(
+                    self.model, self.cfg, image_shape=shape)
+                self._resident_train_fns[('sup', shape)] = sup_fn
+                self._resident_train_fns[('unsup', shape)] = unsup_fn
+                fn = self._resident_train_fns[(kind, shape)]
+            self._resident_train_fns[(kind, shape)] = fn
+        return fn
 
     def evaluate(self, loader, gating_temp: Optional[float] = None) -> float:
         """Mean accuracy over ceil(n/bs) batches (gated_ccvae.py:448-455).
@@ -551,14 +684,20 @@ class Trainer:
         key sequence and the resulting per-batch accuracies are identical
         to the per-batch path."""
         temp = self.gating_temp if gating_temp is None else gating_temp
-        res = self._resident_split(loader)
+        res = self._resident_eval_split(loader)
         if res is not None:
             x, y, shape = res
             fn = self._resident_eval_fns.get(shape)
             if fn is None:
-                from gltvae.train.steps import make_resident_eval_step
-                fn = make_resident_eval_step(self.model, self.cfg,
-                                             image_shape=shape)
+                if self.mesh is not None:
+                    from gltvae.parallel.dp import \
+                        make_parallel_resident_eval_step
+                    fn = make_parallel_resident_eval_step(
+                        self.model, self.cfg, self.mesh, image_shape=shape)
+                else:
+                    from gltvae.train.steps import make_resident_eval_step
+                    fn = make_resident_eval_step(self.model, self.cfg,
+                                                 image_shape=shape)
                 self._resident_eval_fns[shape] = fn
             idxs = jnp.asarray(loader.epoch_indices(), jnp.int32)
             accs, self._eval_key = fn(self.state.params, x, y, idxs,
@@ -621,14 +760,20 @@ class Trainer:
                     make_scan_elbo_step(self.model, self.cfg)
                     if self.steps_per_dispatch > 1 else None)
         temp = self.gating_temp if gating_temp is None else gating_temp
-        res = self._resident_split(loader)
+        res = self._resident_eval_split(loader)
         if res is not None:
             x, _, shape = res
             fn = self._resident_elbo_fns.get(shape)
             if fn is None:
-                from gltvae.train.steps import make_resident_elbo_step
-                fn = make_resident_elbo_step(self.model, self.cfg,
-                                             image_shape=shape)
+                if self.mesh is not None:
+                    from gltvae.parallel.dp import \
+                        make_parallel_resident_elbo_step
+                    fn = make_parallel_resident_elbo_step(
+                        self.model, self.cfg, self.mesh, image_shape=shape)
+                else:
+                    from gltvae.train.steps import make_resident_elbo_step
+                    fn = make_resident_elbo_step(self.model, self.cfg,
+                                                 image_shape=shape)
                 self._resident_elbo_fns[shape] = fn
             idxs = jnp.asarray(loader.epoch_indices(), jnp.int32)
             elbos, self._eval_key = fn(self.state.params, x, idxs,

@@ -167,25 +167,39 @@ def pack_resident_images(images_u8: np.ndarray) -> np.ndarray:
     return images_u8
 
 
-def _make_image_taker(images, image_shape):
+def _make_image_taker(images, image_shape, constrain=None):
     """Row-gather closure for a device-resident image split: plain
     jnp.take for raw [N, H, W, C] arrays, gather + bit-exact uint8
     bitcast for `pack_resident_images`-packed int32 rows (the bitcast
     round-trip preserves bytes, so resident results stay identical to
-    the chunked path — tests/test_resident_eval.py)."""
+    the chunked path — tests/test_resident_eval.py).
+
+    `constrain` (a NamedSharding) pins the GATHERED batch's sharding on a
+    mesh: the resident split is stored row-sharded over 'data'
+    (parallel/dp.py resident wrappers), the partitioner materializes the
+    gather (hoisting the loop-invariant operand all-gather out of the
+    scan — ICI bytes once per dispatch, not per batch), and the
+    constraint immediately re-slices the batch so every op downstream of
+    the gather runs data-parallel, exactly like the chunked mesh path."""
+    def take_raw(idx):
+        rows = jnp.take(images, idx, axis=0)
+        if constrain is not None:
+            rows = jax.lax.with_sharding_constraint(rows, constrain)
+        return rows
+
     if images.dtype != jnp.int32:
-        return lambda idx: jnp.take(images, idx, axis=0)
+        return take_raw
 
     def take(idx):
-        rows = jnp.take(images, idx, axis=0)
-        return jax.lax.bitcast_convert_type(rows, jnp.uint8).reshape(
-            (idx.shape[0],) + tuple(image_shape))
+        return jax.lax.bitcast_convert_type(take_raw(idx), jnp.uint8) \
+            .reshape((idx.shape[0],) + tuple(image_shape))
 
     return take
 
 
 def make_resident_eval_step(model: CCVAE, train_cfg: TrainConfig,
-                            image_shape=None, jit: bool = True):
+                            image_shape=None, jit: bool = True,
+                            constrain=None):
     """Device-RESIDENT eval: the whole split lives on device; one dispatch
     scans an epoch's batches, gathering rows by index instead of shipping
     them.
@@ -200,16 +214,21 @@ def make_resident_eval_step(model: CCVAE, train_cfg: TrainConfig,
     chunked path. This removes the per-epoch host->device re-ship of the
     split AND the per-chunk dispatch overhead: eval becomes one dispatch
     per epoch with only a [n, B] int32 index ship (reference protocol
-    being accelerated: gated_ccvae.py:448-455)."""
+    being accelerated: gated_ccvae.py:448-455).
+
+    `constrain`: gathered-batch sharding on a mesh (see
+    _make_image_taker) — set by parallel/dp.py's resident wrappers."""
     ev = make_eval_step(model, train_cfg, jit=False)
 
     def resident_fn(params, images, labels, idxs, key, gating_temp):
-        take_image = _make_image_taker(images, image_shape)
+        take_image = _make_image_taker(images, image_shape, constrain)
 
         def body(key, idx):
             key, sub = jax.random.split(key)
-            acc = ev(params, take_image(idx),
-                     jnp.take(labels, idx, axis=0), sub, gating_temp)
+            y = jnp.take(labels, idx, axis=0)
+            if constrain is not None:
+                y = jax.lax.with_sharding_constraint(y, constrain)
+            acc = ev(params, take_image(idx), y, sub, gating_temp)
             return key, acc
         key_out, accs = jax.lax.scan(body, key, idxs)
         return accs, key_out
@@ -218,14 +237,15 @@ def make_resident_eval_step(model: CCVAE, train_cfg: TrainConfig,
 
 
 def make_resident_elbo_step(model: CCVAE, train_cfg: TrainConfig,
-                            image_shape=None, jit: bool = True):
+                            image_shape=None, jit: bool = True,
+                            constrain=None):
     """Device-resident twin of make_elbo_eval_step (same contract as
     make_resident_eval_step; labels unused by the unsupervised bound):
     (params, images, idxs, key, gating_temp) -> (elbos [n], key_out)."""
     el = make_elbo_eval_step(model, train_cfg, jit=False)
 
     def resident_fn(params, images, idxs, key, gating_temp):
-        take_image = _make_image_taker(images, image_shape)
+        take_image = _make_image_taker(images, image_shape, constrain)
 
         def body(key, idx):
             key, sub = jax.random.split(key)
@@ -234,6 +254,94 @@ def make_resident_elbo_step(model: CCVAE, train_cfg: TrainConfig,
         return elbos, key_out
 
     return jax.jit(resident_fn) if jit else resident_fn
+
+
+def make_resident_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
+                                   image_shape=None, donate: bool = True,
+                                   jit: bool = True
+                                   ) -> Tuple[Callable, Callable]:
+    """Device-RESIDENT training: the whole train split lives on device;
+    each dispatch scans n inner steps, gathering its batches by index
+    instead of shipping them.
+
+    (state, images [N, row] i32-packed (or [N, H, W, C] u8),
+     labels [N, y] f32, idxs [n, B] i32, gating_temp) -> (state, metrics)
+
+    Why: the per-step host->device image ship is the END-TO-END wall once
+    decode is cached (BENCH_r04 e2e_images_per_sec_cached 3,576 vs the
+    371k device step rate — measured ~44 MB/s effective ship on this
+    host's TPU tunnel, and still multi-GB/epoch on a real host NIC). A
+    CelebA-64 train split is ~2 GB uint8 — it FITS in HBM next to this
+    ~1M-param model, so the TPU-native move is to ship the corpus ONCE
+    and make every later epoch pure device work: per dispatch only a
+    [n, B] int32 index array (a few KB) crosses the host boundary. The
+    reference re-ships (and re-decodes) every image every epoch
+    (utils_data.py:48-63, gated_ccvae.py:302-311).
+
+    Numerics are bit-identical to the host-shipped scan path: the gather
+    + uint8 bitcast returns the exact bytes fetch() would have shipped
+    (pack_resident_images round-trip), the index stream is the same
+    loader cursor, and per-step RNG folds the state's step counter either
+    way — asserted in tests/test_resident_train.py.
+    """
+    sup, unsup = make_train_steps(model, train_cfg, jit=False)
+
+    def make(fn):
+        def scan_fn(state, images, labels, idxs, gating_temp):
+            take_image = _make_image_taker(images, image_shape)
+
+            def body(s, idx):
+                return fn(s, take_image(idx),
+                          jnp.take(labels, idx, axis=0), gating_temp)
+            return jax.lax.scan(body, state, idxs)
+        if not jit:
+            return scan_fn
+        # donate only the state: the resident images/labels persist
+        return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+    return make(sup), make(unsup)
+
+
+def make_resident_mixed_scan_train_step(model: CCVAE,
+                                        train_cfg: TrainConfig,
+                                        image_shape=None,
+                                        donate: bool = True,
+                                        jit: bool = True) -> Callable:
+    """Semi-supervised twin of make_resident_scan_train_steps: both the
+    sup and unsup splits live on device; each inner step gathers from the
+    split its (static-per-chunk) schedule flag selects.
+
+    (state, images_sup, labels_sup, images_unsup, labels_unsup,
+     idxs [n, B] i32, sup_mask [n] bool, gating_temp) -> (state, metrics)
+
+    Row j of `idxs` indexes images_sup/labels_sup when sup_mask[j] else
+    images_unsup/labels_unsup — exactly the row stream the host path's
+    `next(sup_iter if flag else unsup_iter)` consumes
+    (reference interleave: gated_ccvae.py:320-334). lax.cond executes
+    only the selected branch's gather + loss at runtime."""
+    sup, unsup = make_train_steps(model, train_cfg, jit=False)
+
+    def scan_fn(state, images_sup, labels_sup, images_unsup, labels_unsup,
+                idxs, sup_mask, gating_temp):
+        take_s = _make_image_taker(images_sup, image_shape)
+        take_u = _make_image_taker(images_unsup, image_shape)
+
+        def body(s, im):
+            idx, m = im
+            return jax.lax.cond(
+                m,
+                lambda s_: sup(s_, take_s(idx),
+                               jnp.take(labels_sup, idx, axis=0),
+                               gating_temp),
+                lambda s_: unsup(s_, take_u(idx),
+                                 jnp.take(labels_unsup, idx, axis=0),
+                                 gating_temp),
+                s)
+        return jax.lax.scan(body, state, (idxs, sup_mask))
+
+    if not jit:
+        return scan_fn
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,

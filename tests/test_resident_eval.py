@@ -102,10 +102,45 @@ def test_key_chain_continues_across_paths():
                                rtol=1e-6, atol=1e-7)
 
 
-def test_mesh_trainer_stays_chunked():
-    """Mesh trainers keep the chunked path (resident gather is
-    single-device scoped); results already covered by the mesh e2e test —
-    here just the gate."""
+def test_mesh_resident_matches_chunked():
+    """Mesh-resident eval (rows SHARDED over 'data', gathered batches
+    re-sliced to the DP sharding inside the scan) must agree with the
+    chunked mesh path AND the single-device resident path on every call —
+    n=20 on 8 devices also exercises the zero-row padding
+    (parallel/dp.py::place_resident_split)."""
+    from jax.sharding import PartitionSpec as P
     from gltvae.parallel.mesh import create_mesh
-    t = _trainer(mesh=create_mesh())
-    assert t._resident_mode == 'off'
+    mesh = create_mesh()
+    t_mres = _trainer(mesh=mesh)
+    t_mchk = _trainer(mesh=mesh, resident_eval='off')
+    t_sres = _trainer()
+    l1, l2, l3 = _loader(), _loader(), _loader()
+    for _ in range(3):                  # crosses epoch boundaries
+        a = t_mres.evaluate(l1)
+        b = t_mchk.evaluate(l2)
+        c = t_sres.evaluate(l3)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-7)
+        ea = t_mres.test_elbo(l1)
+        eb = t_mchk.test_elbo(l2)
+        ec = t_sres.test_elbo(l3)   # keep l3's cursor + key chain in step
+        np.testing.assert_allclose(ea, eb, rtol=1e-6)
+        np.testing.assert_allclose(ea, ec, rtol=1e-6)
+    # the fast path actually ran, rows actually sharded (not replicated)
+    ent = t_mres._resident_data[id(l1)]
+    x_dev = ent[1]
+    assert x_dev.sharding.spec == P('data')
+    assert x_dev.shape[0] == 24         # 20 rows padded to 8 devices
+    per_dev = {s.data.shape[0] for s in x_dev.addressable_shards}
+    assert per_dev == {3}               # N/D rows per device, not N
+    assert not t_mchk._resident_data
+
+
+def test_mesh_resident_test_protocol():
+    """Trainer.test (eval-temp protocol) through the mesh-resident path
+    equals the single-device resident result."""
+    from gltvae.parallel.mesh import create_mesh
+    t_m = _trainer(mesh=create_mesh())
+    t_s = _trainer()
+    np.testing.assert_allclose(t_m.test(_loader()), t_s.test(_loader()),
+                               rtol=1e-6, atol=1e-7)

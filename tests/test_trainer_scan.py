@@ -1,7 +1,11 @@
 """Trainer multi-step dispatch: a scanned run must match the per-step run
 exactly (same RNG stream, same final state) — including the
 semi-supervised interleave, which dispatches mixed sup/unsup chunks
-through the lax.cond scan (make_mixed_scan_train_step)."""
+through the lax.cond scan (make_mixed_scan_train_step).
+
+Every Trainer here pins resident_train='off': this suite tests the
+HOST-shipped scan dispatch; the device-resident path has its own
+parity suite (test_resident_train.py)."""
 
 import jax
 import numpy as np
@@ -34,9 +38,9 @@ def _final_params(trainer):
 def test_scan_matches_per_step_fully_supervised():
     cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
                       classifier_mc_samples=2, n_epochs=2)
-    t1 = Trainer(MODEL, cfg, mu_init=mu())
+    t1 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off')
     t1.train(loaders(1.0))
-    t4 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=4)
+    t4 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=4)
     t4.train(loaders(1.0))
     assert int(t1.state.step) == int(t4.state.step) == 12
     for a, b in zip(jax.tree.leaves(_final_params(t1)),
@@ -48,7 +52,7 @@ def test_scan_handles_remainder_chunks():
     # 48/8 = 6 batches/epoch, spd=4 -> chunks of 4 + 2
     cfg = TrainConfig(batch_size=8, perc_supervision=0.0,
                       classifier_mc_samples=2, n_epochs=1)
-    t = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=4)
+    t = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=4)
     t.train(loaders(0.0))
     assert int(t.state.step) == 6
 
@@ -59,9 +63,9 @@ def test_mixed_scan_matches_per_step_semi_sup():
     params exactly (same schedule, same per-step RNG stream)."""
     cfg = TrainConfig(batch_size=8, perc_supervision=0.5,
                       classifier_mc_samples=2, n_epochs=2)
-    t1 = Trainer(MODEL, cfg, mu_init=mu())
+    t1 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off')
     t1.train(loaders(0.5))
-    t4 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=4)
+    t4 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=4)
     result = t4.train(loaders(0.5))
     # 3 sup + 3 unsup batches per epoch
     assert int(t1.state.step) == int(t4.state.step) == 12
@@ -81,9 +85,9 @@ def test_mixed_scan_matches_per_step_sup02():
                       classifier_mc_samples=2, n_epochs=1)
     lds1 = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
     lds4 = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
-    t1 = Trainer(MODEL, cfg, mu_init=mu())
+    t1 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off')
     t1.train(lds1)
-    t4 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=4)
+    t4 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=4)
     t4.train(lds4)
     assert int(t1.state.step) == int(t4.state.step) == 9
     for a, b in zip(jax.tree.leaves(_final_params(t1)),
@@ -113,7 +117,7 @@ def test_scan_metrics_are_step_complete(tmp_path):
                       classifier_mc_samples=2, n_epochs=1)
     rows = {}
     for spd in (1, 4):
-        t = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=spd,
+        t = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=spd,
                     metrics_path=str(tmp_path / f'm{spd}.csv'))
         t.train(loaders(0.5), log_every=1)
         rows[spd] = t.metrics.rows
@@ -133,8 +137,8 @@ def test_scan_elbo_matches_per_batch():
     splits = synthetic_splits(n_train=48, n_valid=24, n_test=8,
                               sup_frac=1.0, image_size=16, y_dim=4)
     lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
-    t1 = Trainer(MODEL, cfg, mu_init=mu())
-    t2 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2)
+    t1 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off')
+    t2 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=2)
     e1 = t1.test_elbo(lds['valid'])
     lds['valid'].reset()
     e2 = t2.test_elbo(lds['valid'])
@@ -154,8 +158,8 @@ def test_scan_eval_matches_per_batch_eval():
                               sup_frac=1.0, image_size=16, y_dim=4)
     lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
 
-    t1 = Trainer(MODEL, cfg, mu_init=mu())
-    t2 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2)
+    t1 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off')
+    t2 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=2)
     assert t2._scan_eval is not None
     acc1 = t1.evaluate(lds['valid'])
     lds['valid'].reset()
@@ -171,10 +175,10 @@ def test_scan_eval_on_mesh_matches_single():
     splits = synthetic_splits(n_train=48, n_valid=32, n_test=8,
                               sup_frac=1.0, image_size=16, y_dim=4)
     lds = {k: BatchLoader(v, 8, seed=0) for k, v in splits.items()}
-    t1 = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2)
+    t1 = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=2)
     acc1 = t1.evaluate(lds['valid'])
     lds['valid'].reset()
-    tm = Trainer(MODEL, cfg, mu_init=mu(), steps_per_dispatch=2,
+    tm = Trainer(MODEL, cfg, mu_init=mu(), resident_train='off', steps_per_dispatch=2,
                  mesh=create_mesh())
     accm = tm.evaluate(lds['valid'])
     np.testing.assert_allclose(acc1, accm, rtol=1e-5)

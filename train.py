@@ -141,6 +141,16 @@ def parse_args(argv=None):
                         "eval epoch in ONE dispatch by on-device row "
                         "gather (bit-identical results to the chunked "
                         "path); 'off' always streams batches from host")
+    p.add_argument('--resident-train', default='auto',
+                   choices=['auto', 'off'],
+                   help="device-resident training: 'auto' ships a fitting "
+                        "train split (CelebA-64 uint8 is ~2 GB) to the "
+                        "device ONCE, after which every dispatch sends "
+                        "only a [n, B] int32 index array — no per-step "
+                        "image ship (bit-identical params to the host-"
+                        "shipped path); 'off' always streams batches. "
+                        "Auto-disabled under a mesh, with --augment-pad, "
+                        "or when the split exceeds the HBM budget")
     p.add_argument('--num-workers', type=int, default=8)
     p.add_argument('--decode-backend', default='auto',
                    choices=['auto', 'cv2', 'pil', 'native', 'grain'],
@@ -230,13 +240,15 @@ def build_configs(args, sup):
 
 def make_loaders(args, data_cfg, train_cfg, y_dim):
     from gltvae.data.pipeline import BatchLoader
-    # Multi-host: host-shard the input — each process decodes only its
-    # own 1/N rows of every global batch (BatchLoader.shard, paired with
-    # Trainer(local_batches=True)); grain shards via its own shard_options
+    # Multi-host: host-shard the input — each process decodes only 1/N
+    # of every global batch, paired with Trainer(local_batches=True).
+    # BatchLoader slices a seed-coordinated global index stream (batches
+    # identical to the single-host run); the grain backend slices the
+    # corpus per host via grain.ShardOptions (celeba._make_loader) —
+    # valid DP but not mesh-shape-invariant batch composition.
     import jax
     shard = ((jax.process_index(), jax.process_count())
-             if jax.process_count() > 1
-             and args.decode_backend != 'grain' else None)
+             if jax.process_count() > 1 else None)
     if args.synthetic:
         from gltvae.data.synthetic import synthetic_splits
         from gltvae.ops.gating import gating_matrix_from_labels
@@ -316,7 +328,8 @@ def run(args, sup: float):
                                        if args.tensorboard else None),
                       steps_per_dispatch=args.steps_per_dispatch,
                       local_batches=local_batches,
-                      resident_eval=args.resident_eval)
+                      resident_eval=args.resident_eval,
+                      resident_train=args.resident_train)
 
     if args.init_from_h5:
         from gltvae.utils.h5_import import load_reference_checkpoint
