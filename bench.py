@@ -295,14 +295,58 @@ def bench_eval_resident(batch_size: int = 256, n_images: int = 16384,
     return batch_size * nb * dispatches / dt, roof
 
 
+def bench_trainer_eval(batch_size: int = 256, n_images: int = 16384,
+                       epochs: int = 3, prng: str = 'rbg',
+                       input_s2d: bool = False, output_s2d: bool = False):
+    """(resident_img_per_sec, chunked_img_per_sec): REAL
+    `Trainer.evaluate()` wall time, both formulations — the measurement
+    that decides the resident-eval default (VERDICT r4 weak #1). Unlike
+    bench_eval/bench_eval_resident (pure device dispatch rates on
+    pre-staged args), this pays everything each path actually pays per
+    eval epoch: the chunked path's host batch fetch + host->device
+    re-ship of the whole split, the resident path's [n, B] int32 index
+    ship — through the same Trainer entry point train.py uses
+    (gated_ccvae.py:448-455 protocol). The chunked leg gets its BEST
+    config (steps_per_dispatch=64 -> scan-eval, the rate bench_eval
+    measures) so the resident-default decision isn't won by handicapping
+    the alternative."""
+    import jax
+    from gltvae.config import ModelConfig, TrainConfig
+    from gltvae.data.pipeline import ArrayDataset, BatchLoader
+    from gltvae.train.loop import Trainer
+
+    cfg = ModelConfig(compute_dtype='bfloat16', input_s2d=input_s2d,
+                      output_s2d=output_s2d)
+    tc = TrainConfig(batch_size=batch_size, prng_impl=prng)
+    rng = np.random.RandomState(0)
+    mu = rng.rand(18, 18).astype(np.float32)
+    images = rng.randint(0, 256, (n_images, 64, 64, 3)).astype(np.uint8)
+    labels = (rng.rand(n_images, 18) > 0.5).astype(np.float32)
+
+    out = []
+    for mode in ('auto', 'off'):
+        t = Trainer(cfg, tc, mu_init=mu, resident_eval=mode,
+                    steps_per_dispatch=64)
+        loader = BatchLoader(ArrayDataset(images, labels), batch_size,
+                             seed=0)
+        t.evaluate(loader)            # compile + (resident) split ship
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            t.evaluate(loader)        # returns a host float: self-fencing
+        out.append(epochs * n_images / (time.perf_counter() - t0))
+    return tuple(out)
+
+
 def bench_e2e(batch_size: int = 256, n_train: int = 2048,
               prng: str = 'rbg', compute_dtype: str = 'bfloat16'):
-    """(cold_img_per_sec, cached_img_per_sec): END-TO-END training rate
+    """(cold, cached, resident) img/sec: END-TO-END training rate
     through the REAL input stack — JPEG decode (the CelebAReader->
     BatchLoader stack train.py dispatches) -> host->device uint8 ship ->
     scanned supervised train step — measured per epoch, fenced by a host
     fetch. 'cold' decodes every image (epoch-1 / cache-off behavior);
-    'cached' is epoch 2+ with the in-RAM uint8 cache (--cache-decoded).
+    'cached' is epoch 2+ with the in-RAM uint8 cache (--cache-decoded);
+    'resident' is the device-resident training path (Trainer default for
+    fitting splits): split shipped once, epochs dispatch index arrays.
     Generates its own CelebA-format JPEG corpus (218x178, q90) so it runs
     anywhere. This is the headline's honest companion: the device-step
     number above it excludes the host pipeline by design (BASELINE's
@@ -368,10 +412,40 @@ def bench_e2e(batch_size: int = 256, n_train: int = 2048,
             state, ms = one_epoch(state)
         float(jax.device_get(ms['loss'][-1]))
         t2 = time.perf_counter()
+
+        # DEVICE-RESIDENT training (the Trainer's default for fitting
+        # splits): the split ships ONCE, each epoch dispatches only a
+        # [nb, B] int32 index array. The cached row above is ship-bound
+        # (~44 MB/s effective on this host's tunnel; multi-GB/epoch on
+        # any host) — this is the path that removes the ship entirely.
+        from gltvae.train.steps import (make_resident_scan_train_steps,
+                                        pack_resident_images)
+        ds = loader.dataset
+        x_all, y_all = ds.fetch(np.arange(len(ds)))   # warm: pure gather
+        images = jax.device_put(
+            pack_resident_images(np.ascontiguousarray(x_all)))
+        labels = jax.device_put(np.asarray(y_all, np.float32))
+        res_sup, _ = make_resident_scan_train_steps(
+            model, tc, image_shape=x_all.shape[1:])
+
+        def one_epoch_resident(s):
+            idxs = np.stack([loader._next_batch_idxs()
+                             for _ in range(nb)]).astype(np.int32)
+            return res_sup(s, images, labels, jnp.asarray(idxs), 1.0)
+
+        state, ms = one_epoch_resident(state)         # compile
+        float(jax.device_get(ms['loss'][-1]))
+        res_epochs = 3
+        t3 = time.perf_counter()
+        for _ in range(res_epochs):
+            state, ms = one_epoch_resident(state)
+        float(jax.device_get(ms['loss'][-1]))
+        t4 = time.perf_counter()
         if hasattr(it, 'close'):
             it.close()
     return (nb * batch_size / (t1 - t0),
-            warm_epochs * nb * batch_size / (t2 - t1))
+            warm_epochs * nb * batch_size / (t2 - t1),
+            res_epochs * nb * batch_size / (t4 - t3))
 
 
 def bench_traversal(n_steps: int = 8, iters: int = 20):
@@ -541,24 +615,32 @@ def main():
         remat=args.remat, input_s2d=s2d, output_s2d=os2d)
     peak_hbm = peak_mb()
     traversal_ms = (None if args.skip_traversal else bench_traversal())
+    # the eval benches build the hardcoded 64px model — at --image-size
+    # 128 their rows would silently describe a different model than the
+    # headline train row, so they are gated like the e2e rows
+    skip_eval = args.skip_traversal or args.image_size != 64
     eval_ips, eval_roof = (
-        (None, None) if args.skip_traversal
+        (None, None) if skip_eval
         else bench_eval(args.batch_size, prng=args.prng, input_s2d=s2d,
                         output_s2d=os2d))
     eval_res_ips, eval_res_roof = (
-        (None, None) if args.skip_traversal
+        (None, None) if skip_eval
         else bench_eval_resident(args.batch_size, prng=args.prng,
                                  input_s2d=s2d, output_s2d=os2d))
-    e2e_cold = e2e_cached = None
+    tr_eval_res, tr_eval_chk = (
+        (None, None) if skip_eval
+        else bench_trainer_eval(args.batch_size, prng=args.prng,
+                                input_s2d=s2d, output_s2d=os2d))
+    e2e_cold = e2e_cached = e2e_resident = None
     if not args.skip_e2e and args.image_size == 64:
         try:
-            e2e_cold, e2e_cached = bench_e2e(
+            e2e_cold, e2e_cached, e2e_resident = bench_e2e(
                 args.batch_size, n_train=args.e2e_train_images,
                 prng=args.prng, compute_dtype=args.dtype)
         except Exception as e:   # e2e needs PIL+cv2 and scratch disk;
-            e2e_cold = e2e_cached = None   # its absence must not kill
+            e2e_cold = e2e_cached = e2e_resident = None  # absence must
             print(f'# e2e bench skipped: {type(e).__name__}: {e}',
-                  flush=True)
+                  flush=True)                            # not kill bench
 
     baseline = 700.0  # reference images/sec (BASELINE.md, derived)
     kind = ('semi-sup 1/%d mix' % args.semi_sup_period
@@ -591,13 +673,26 @@ def main():
                                 else round(eval_ips, 1)),
         'eval_images_per_sec_resident': (None if eval_res_ips is None
                                          else round(eval_res_ips, 1)),
+        # trainer_eval = REAL Trainer.evaluate() wall epochs (16,384-row
+        # split), each path paying what it actually pays: chunked's host
+        # fetch + whole-split re-ship vs resident's index-only ship —
+        # the measurement behind the resident default.
+        'trainer_eval_images_per_sec_resident': (
+            None if tr_eval_res is None else round(tr_eval_res, 1)),
+        'trainer_eval_images_per_sec_chunked': (
+            None if tr_eval_chk is None else round(tr_eval_chk, 1)),
         # e2e = JPEG decode -> host->device ship -> train step through
         # the real loader stack (whole timed epochs). cold decodes every
-        # image; cached is epoch 2+ with the in-RAM uint8 cache.
+        # image; cached is epoch 2+ with the in-RAM uint8 cache;
+        # _resident is the Trainer's default for fitting splits — the
+        # split shipped once, epochs dispatch only [nb, B] int32 indices
+        # (no per-step image ship).
         'e2e_images_per_sec': (None if e2e_cold is None
                                else round(e2e_cold, 1)),
         'e2e_images_per_sec_cached': (None if e2e_cached is None
                                       else round(e2e_cached, 1)),
+        'e2e_images_per_sec_resident': (None if e2e_resident is None
+                                        else round(e2e_resident, 1)),
         'roofline': roofline,
         'eval_roofline': eval_roof,
         'eval_roofline_resident': eval_res_roof,
