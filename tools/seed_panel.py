@@ -60,14 +60,25 @@ def main(argv=None):
     results_path = os.path.join(args.workdir, 'seed_panel.json')
     results = (json.load(open(results_path))
                if os.path.exists(results_path) else {})
+    # default cell (fixed/one-one sup=1.0) keeps the round-4 tag format so
+    # docs/HEAD2HEAD.md's existing panel rows stay reproducible; other
+    # cells of the mode grid get a cell prefix (same corpus, same workdir)
+    default_cell = (args.gate_type == 'fixed'
+                    and args.gate_subtype == 'one-one' and args.sup == 1.0)
+    cell = (f'{args.gate_type}-{args.gate_subtype}' if args.gate_type ==
+            'fixed' else args.gate_type) + f'_sup{args.sup}'
     for locs in args.locs:
         for seed in args.seeds:
-            tag = f'locs={locs}/seed={seed}'
+            tag = (f'locs={locs}/seed={seed}' if default_cell
+                   else f'cell={cell}/locs={locs}/seed={seed}')
             if tag in results:
                 print(f'{tag}: cached {results[tag]["test_accuracy"]:.4f}',
                       flush=True)
                 continue
-            out_dir = os.path.join(args.workdir, f'models_{locs}_s{seed}')
+            out_dir = os.path.join(
+                args.workdir,
+                f'models_{locs}_s{seed}' if default_cell
+                else f'models_{cell}_{locs}_s{seed}')
             cmd = [sys.executable, os.path.join(REPO, 'train.py'),
                    '--do-train', '--epochs', str(args.epochs),
                    '-bs', str(args.bs), '--data-dir', data_dir,
@@ -93,6 +104,8 @@ def main(argv=None):
                 r = json.load(f)
             results[tag] = {
                 'locs': locs, 'seed': seed,
+                'gate_type': args.gate_type,
+                'gate_subtype': args.gate_subtype, 'sup': args.sup,
                 'test_accuracy': r['test_accuracy'],
                 'val_accuracy': [h['val_accuracy']
                                  for h in r.get('history', [])],
@@ -106,7 +119,8 @@ def main(argv=None):
     for seed in args.seeds:
         row = [str(seed)]
         for locs in args.locs:
-            r = results.get(f'locs={locs}/seed={seed}')
+            r = results.get(f'locs={locs}/seed={seed}' if default_cell
+                            else f'cell={cell}/locs={locs}/seed={seed}')
             row.append('n/a' if r is None else f"{r['test_accuracy']:.3f}")
         print('| ' + ' | '.join(row) + ' |')
     return results
