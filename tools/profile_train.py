@@ -134,7 +134,8 @@ def build_eval_chunked(args):
     params = state.params
 
     def run(k):
-        accs, k = fn(params, xs, ys, k, 0.3)
+        k, sub = jax.random.split(k)
+        accs = fn(params, xs, ys, jax.random.split(sub, nb), 0.3)
         return k, accs
     return key, run
 
