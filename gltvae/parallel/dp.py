@@ -256,6 +256,47 @@ def make_parallel_resident_elbo_step(model: CCVAE, train_cfg: TrainConfig,
                    out_shardings=(repl, repl))
 
 
+def make_parallel_resident_scan_train_steps(
+        model: CCVAE, train_cfg: TrainConfig, mesh: Mesh,
+        image_shape=None, donate: bool = True) -> Tuple[Callable, Callable]:
+    """Device-resident TRAINING on the mesh: the train split's rows live
+    SHARDED over 'data' (place_resident_split), each dispatch scans n
+    inner steps whose row gathers the partitioner materializes from a
+    hoisted loop-invariant all-gather; the with_sharding_constraint
+    inside the gather re-slices every batch to P('data'), so the loss,
+    grads, and psum run exactly the chunked mesh schedule
+    (make_parallel_scan_train_steps). Params stay bit-identical to the
+    single-device resident run and to the host-shipped mesh run
+    (tests/test_resident_train.py::test_mesh_resident_*)."""
+    sup, unsup = _steps.make_resident_scan_train_steps(
+        model, train_cfg, image_shape=image_shape, jit=False,
+        constrain=batch_sharding(mesh))
+    repl = replicated_sharding(mesh)
+    rows = resident_rows_sharding(mesh)
+    kwargs = dict(in_shardings=(repl, rows, repl, repl, repl),
+                  out_shardings=(repl, repl),
+                  donate_argnums=(0,) if donate else ())
+    return jax.jit(sup, **kwargs), jax.jit(unsup, **kwargs)
+
+
+def make_parallel_resident_mixed_scan_train_step(
+        model: CCVAE, train_cfg: TrainConfig, mesh: Mesh,
+        image_shape=None, donate: bool = True) -> Callable:
+    """Semi-supervised mesh twin (see
+    make_parallel_resident_scan_train_steps): both resident splits'
+    rows sharded over 'data', the per-step sup mask replicated."""
+    fn = _steps.make_resident_mixed_scan_train_step(
+        model, train_cfg, image_shape=image_shape, jit=False,
+        constrain=batch_sharding(mesh))
+    repl = replicated_sharding(mesh)
+    rows = resident_rows_sharding(mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(repl, rows, repl, rows, repl, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else ())
+
+
 def make_parallel_scan_eval_step(model: CCVAE, train_cfg: TrainConfig,
                                  mesh: Mesh) -> Callable:
     """Scan-eval on the mesh: stacked batches sharded P(None, 'data'),

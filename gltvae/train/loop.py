@@ -162,8 +162,7 @@ class Trainer:
         # (tests/test_resident_train.py).
         if resident_train not in ('auto', 'off'):
             raise ValueError("resident_train must be 'auto' or 'off'")
-        self._resident_train_mode = ('off' if mesh is not None
-                                     else resident_train)
+        self._resident_train_mode = resident_train
         self._resident_train_budget = resident_train_max_bytes
         self._resident_train_fns: dict = {}   # (kind, shape) -> step fn
 
@@ -623,8 +622,10 @@ class Trainer:
         """{'sup'/'unsup': (images, labels, shape)} when ALL train splits
         fit the combined resident-train budget, else None. Augmented runs
         stay host-shipped (the crop/flip kernel consumes padded host
-        batches); mesh runs are gated in __init__ (extend with shard_map
-        row ownership before lifting)."""
+        batches). On a mesh the splits' rows shard over 'data'
+        (place_resident_split); host-SHARDED loaders (multi-host input)
+        are excluded by the shard check below — their fetch() only
+        serves this process's rows — so multi-host keeps streaming."""
         if self._resident_train_mode == 'off' or self._augment is not None:
             return None
         modes = [m for m in ('sup', 'unsup') if m in loaders]
@@ -657,15 +658,22 @@ class Trainer:
     def _get_resident_train_fn(self, kind: str, shape):
         fn = self._resident_train_fns.get((kind, shape))
         if fn is None:
-            from gltvae.train.steps import (
-                make_resident_scan_train_steps,
-                make_resident_mixed_scan_train_step)
-            if kind == 'mixed':
-                fn = make_resident_mixed_scan_train_step(
-                    self.model, self.cfg, image_shape=shape)
+            if self.mesh is not None:
+                from gltvae.parallel.dp import (
+                    make_parallel_resident_mixed_scan_train_step as mk_mixed,
+                    make_parallel_resident_scan_train_steps as mk_pair)
+                extra = (self.mesh,)
             else:
-                sup_fn, unsup_fn = make_resident_scan_train_steps(
-                    self.model, self.cfg, image_shape=shape)
+                from gltvae.train.steps import (
+                    make_resident_mixed_scan_train_step as mk_mixed,
+                    make_resident_scan_train_steps as mk_pair)
+                extra = ()
+            if kind == 'mixed':
+                fn = mk_mixed(self.model, self.cfg, *extra,
+                              image_shape=shape)
+            else:
+                sup_fn, unsup_fn = mk_pair(self.model, self.cfg, *extra,
+                                           image_shape=shape)
                 self._resident_train_fns[('sup', shape)] = sup_fn
                 self._resident_train_fns[('unsup', shape)] = unsup_fn
                 fn = self._resident_train_fns[(kind, shape)]

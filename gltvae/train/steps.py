@@ -258,7 +258,7 @@ def make_resident_elbo_step(model: CCVAE, train_cfg: TrainConfig,
 
 def make_resident_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
                                    image_shape=None, donate: bool = True,
-                                   jit: bool = True
+                                   jit: bool = True, constrain=None
                                    ) -> Tuple[Callable, Callable]:
     """Device-RESIDENT training: the whole train split lives on device;
     each dispatch scans n inner steps, gathering its batches by index
@@ -283,16 +283,21 @@ def make_resident_scan_train_steps(model: CCVAE, train_cfg: TrainConfig,
     (pack_resident_images round-trip), the index stream is the same
     loader cursor, and per-step RNG folds the state's step counter either
     way — asserted in tests/test_resident_train.py.
+
+    `constrain`: gathered-batch sharding on a mesh (see
+    _make_image_taker) — set by parallel/dp.py's resident wrappers.
     """
     sup, unsup = make_train_steps(model, train_cfg, jit=False)
 
     def make(fn):
         def scan_fn(state, images, labels, idxs, gating_temp):
-            take_image = _make_image_taker(images, image_shape)
+            take_image = _make_image_taker(images, image_shape, constrain)
 
             def body(s, idx):
-                return fn(s, take_image(idx),
-                          jnp.take(labels, idx, axis=0), gating_temp)
+                y = jnp.take(labels, idx, axis=0)
+                if constrain is not None:
+                    y = jax.lax.with_sharding_constraint(y, constrain)
+                return fn(s, take_image(idx), y, gating_temp)
             return jax.lax.scan(body, state, idxs)
         if not jit:
             return scan_fn
@@ -306,7 +311,8 @@ def make_resident_mixed_scan_train_step(model: CCVAE,
                                         train_cfg: TrainConfig,
                                         image_shape=None,
                                         donate: bool = True,
-                                        jit: bool = True) -> Callable:
+                                        jit: bool = True,
+                                        constrain=None) -> Callable:
     """Semi-supervised twin of make_resident_scan_train_steps: both the
     sup and unsup splits live on device; each inner step gathers from the
     split its (static-per-chunk) schedule flag selects.
@@ -323,19 +329,23 @@ def make_resident_mixed_scan_train_step(model: CCVAE,
 
     def scan_fn(state, images_sup, labels_sup, images_unsup, labels_unsup,
                 idxs, sup_mask, gating_temp):
-        take_s = _make_image_taker(images_sup, image_shape)
-        take_u = _make_image_taker(images_unsup, image_shape)
+        take_s = _make_image_taker(images_sup, image_shape, constrain)
+        take_u = _make_image_taker(images_unsup, image_shape, constrain)
+
+        def take_y(labels, idx):
+            y = jnp.take(labels, idx, axis=0)
+            if constrain is not None:
+                y = jax.lax.with_sharding_constraint(y, constrain)
+            return y
 
         def body(s, im):
             idx, m = im
             return jax.lax.cond(
                 m,
-                lambda s_: sup(s_, take_s(idx),
-                               jnp.take(labels_sup, idx, axis=0),
+                lambda s_: sup(s_, take_s(idx), take_y(labels_sup, idx),
                                gating_temp),
                 lambda s_: unsup(s_, take_u(idx),
-                                 jnp.take(labels_unsup, idx, axis=0),
-                                 gating_temp),
+                                 take_y(labels_unsup, idx), gating_temp),
                 s)
         return jax.lax.scan(body, state, (idxs, sup_mask))
 

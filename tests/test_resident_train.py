@@ -126,3 +126,54 @@ def test_augment_disables_resident_train():
     t.train(ld)
     assert not t._resident_train_fns
     assert int(t.state.step) == 6
+
+
+def test_mesh_resident_matches_host_and_single():
+    """Mesh-resident TRAINING (rows sharded over 'data',
+    parallel/dp.py::make_parallel_resident_scan_train_steps): params
+    bit-match both the host-shipped mesh run and the single-device
+    resident run. sup=0.5 also exercises the mixed mesh twin."""
+    from gltvae.parallel.mesh import create_mesh
+    mesh = create_mesh()
+    for sup_frac in (1.0, 0.5):
+        cfg = TrainConfig(batch_size=8, perc_supervision=sup_frac,
+                          classifier_mc_samples=2, n_epochs=2)
+        t_mesh_off = Trainer(MODEL, cfg, mu_init=mu(), mesh=mesh,
+                             steps_per_dispatch=4, resident_train='off')
+        t_mesh_off.train(loaders(sup_frac))
+        t_mesh_res = Trainer(MODEL, cfg, mu_init=mu(), mesh=mesh,
+                             steps_per_dispatch=4)
+        t_mesh_res.train(loaders(sup_frac))
+        assert t_mesh_res._resident_train_fns     # resident path taken
+        t_one_res = Trainer(MODEL, cfg, mu_init=mu(),
+                            steps_per_dispatch=4)
+        t_one_res.train(loaders(sup_frac))
+        assert int(t_mesh_off.state.step) == int(t_mesh_res.state.step) \
+            == int(t_one_res.state.step) == 12
+        # same topology, resident vs host-shipped: exact parity claim
+        _assert_same(_params(t_mesh_off), _params(t_mesh_res))
+        # cross-topology (8-device psum vs single-device sum): float
+        # reassociation drifts O(1e-8) after 12 Adam steps — not a
+        # resident-path property (the host-shipped mesh run drifts from
+        # the single run identically, as asserted above by transitivity)
+        for a, b in zip(jax.tree.leaves(_params(t_mesh_res)),
+                        jax.tree.leaves(_params(t_one_res))):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_mesh_resident_rows_sharded():
+    """The resident split's rows actually live sharded over 'data' on
+    the mesh (per-device HBM holds only N/D rows), not replicated."""
+    from gltvae.parallel.mesh import create_mesh
+    mesh = create_mesh()
+    cfg = TrainConfig(batch_size=8, perc_supervision=1.0,
+                      classifier_mc_samples=2, n_epochs=1)
+    ld = loaders(1.0)
+    t = Trainer(MODEL, cfg, mu_init=mu(), mesh=mesh, steps_per_dispatch=4)
+    t.train(ld)
+    (_, x, _, _), = [e for e in t._resident_data.values()
+                     if e[0] is ld['sup']]
+    n_dev = mesh.devices.size
+    assert len(x.sharding.device_set) == n_dev
+    shard_rows = {s.data.shape[0] for s in x.addressable_shards}
+    assert shard_rows == {-(-x.shape[0] // n_dev)}   # N/D rows per device
